@@ -1,0 +1,159 @@
+"""CKKS plaintext encoding for the TPU backend — exact integer paths.
+
+Coefficient packing (the FedAvg workhorse): values go straight into
+polynomial coefficients. Addition and scalar multiplication — the only
+homomorphic ops the reference's secure-FedAvg uses (ckks.cpp:286-298) — act
+coefficient-wise, so no canonical-embedding FFT is needed and encode/decode
+are *exact* at any scale up to 2**80:
+
+  encode:  round(m * 2**scale_bits) is exact in f32 (power-of-two scaling of
+           a 24-bit mantissa), split into 16-bit digits by exact f32 float
+           ops, then reduced mod each q_l with Shoup multiplications.
+
+  decode:  exact CRT reconstruction. y_l = x_l * (Q/q_l)^{-1} mod q_l, then
+           v = sum_l y_l * (Q/q_l) - k*Q accumulated in 16-bit digit planes
+           (uint32 accumulators never overflow), k recovered from a float
+           estimate of sum(y_l / q_l) — provably exact because |v| << Q.
+           The centered value is divided by the scale in two-float
+           arithmetic (~48-bit precision).
+
+Slot packing (canonical embedding) for ct x ct workloads lives in
+slots.py.
+
+No float64 anywhere: TPU-native.
+Reference parity: MakeCKKSPackedPlaintext / GetRealPackedValue
+(ckks.cpp:80,198-204), with better precision than f64-based decode at
+scale 2**52.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..rns import modops
+from ..utils import dfloat
+from .params import CkksContext, DecodeConsts, ENCODE_DIGITS, DIGIT_BITS
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_F32 = jnp.float32
+
+
+def encode_coeff(ctx: CkksContext, values: jnp.ndarray,
+                 scale: float) -> jnp.ndarray:
+    """Encode f32 values (..., N) -> residues (..., L, N), coefficient order.
+
+    `scale` must be a power of two (message encode path); scalars with
+    arbitrary scales are encoded host-side via encode_scalar().
+    """
+    sb = math.log2(scale)
+    assert sb == int(sb), "vector encode requires a power-of-two scale"
+    x = values.astype(_F32) * _F32(scale)
+    t = jnp.round(x)
+    sign = t < 0
+    a = jnp.abs(t)
+    # Exact 16-bit digit split, high to low. Every subtraction is exact in
+    # f32 because any suffix of a 24-bit-mantissa integer is representable.
+    digs = []
+    r = a
+    for j in reversed(range(ENCODE_DIGITS)):
+        p = _F32(2.0 ** (DIGIT_BITS * j))
+        d = jnp.floor(r / p)
+        r = r - d * p
+        digs.append((j, d))
+    L = ctx.num_limbs
+    qb = ctx.q[:, None]
+    acc = jnp.zeros(values.shape[:-1] + (L, values.shape[-1]), dtype=_U32)
+    for j, d in digs:
+        du = d.astype(_I32).astype(_U32)[..., None, :]
+        term = modops.mul_mod_shoup(
+            du, ctx.enc_pow[j][:, None], ctx.enc_pow_shoup[j][:, None], qb)
+        acc = modops.add_mod(acc, term, qb)
+    return jnp.where(sign[..., None, :], modops.neg_mod(acc, qb), acc)
+
+
+def encode_scalar(moduli: tuple[int, ...], w: float, scale: float):
+    """Host-side exact scalar encode: round(w * scale) mod q_l, with Shoup
+    companions. Returns (res (L,), shoup (L,)) numpy uint32.
+
+    Mirrors EvalMult(ct, double) plaintext handling (ckks.cpp:288)."""
+    t = int(round(float(w) * scale))
+    res = np.array([t % q for q in moduli], dtype=np.uint32)
+    shoup = modops.shoup_precompute(res, np.array(moduli, dtype=np.uint32))
+    return res, shoup
+
+
+def decode_coeff(ctx: CkksContext, residues: jnp.ndarray,
+                 scale: float) -> jnp.ndarray:
+    """Decode residues (..., live, N) in coefficient order -> f32 (..., N).
+
+    Exact CRT + two-float division by `scale` (any positive float)."""
+    live = residues.shape[-2]
+    dc: DecodeConsts = ctx.dec_consts[live - 1]
+    nd = dc.ndig
+    qs = ctx.q[:live]
+
+    y = modops.mul_mod_shoup(
+        residues, dc.punc_inv[:, None], dc.punc_inv_shoup[:, None],
+        qs[:, None])                                    # (..., live, N)
+
+    # k = round(sum y_l / q_l): exact because |v| << Q (see module doc).
+    fsum = jnp.sum(y.astype(_F32) * dc.inv_q_f32[:, None], axis=-2)
+    k = jnp.round(fsum).astype(_I32)                    # (..., N), 0..live
+
+    # Digit-plane accumulation of sum_l y_l * M_l; every partial is < 2**16
+    # and there are < 4*live + live + 3 of them per plane: fits uint32.
+    y_lo = y & _U32(0xFFFF)
+    y_hi = y >> 16
+    planes = [jnp.zeros(residues.shape[:-2] + residues.shape[-1:], dtype=_U32)
+              for _ in range(nd)]
+    for l in range(live):
+        for d in range(nd):
+            m = dc.m_digits[l, d]
+            p1 = y_lo[..., l, :] * m
+            planes[d] = planes[d] + (p1 & _U32(0xFFFF))
+            if d + 1 < nd:
+                planes[d + 1] = planes[d + 1] + (p1 >> 16)
+                p2 = y_hi[..., l, :] * m
+                planes[d + 1] = planes[d + 1] + (p2 & _U32(0xFFFF))
+            if d + 2 < nd:
+                planes[d + 2] = planes[d + 2] + (p2 >> 16)
+
+    # w = acc + Q - k*Q  (>= 0, exact). Select k*Q digits TPU-style with
+    # where-sums rather than a gather.
+    out_digits = []
+    carry = jnp.zeros_like(k)
+    for d in range(nd):
+        kq_d = jnp.zeros_like(k)
+        for j in range(live + 1):
+            kq_d = jnp.where(k == j, dc.kq_digits[j, d].astype(_I32), kq_d)
+        r = planes[d].astype(_I32) + dc.q_digits[d].astype(_I32) - kq_d + carry
+        out_digits.append(r & _I32(0xFFFF))
+        carry = r >> 16
+    # carry must be 0 here: w in [0, 2Q) fits the nd digit planes.
+
+    # v = w - Q, digit-wise with borrow; final borrow = sign of v.
+    vdigs = []
+    borrow = jnp.zeros_like(k)
+    for d in range(nd):
+        r = out_digits[d] - dc.q_digits[d].astype(_I32) + borrow
+        vdigs.append(r & _I32(0xFFFF))
+        borrow = r >> 16                               # 0 or -1
+    # v = sum vdigs[d] * 2**(16d) + borrow * 2**(16*nd)
+
+    # Two-float sum of exact terms digit * 2**(16d) / 2**floor_log2(scale).
+    e = math.floor(math.log2(scale))
+    hi = jnp.zeros(k.shape, dtype=_F32)
+    lo = jnp.zeros(k.shape, dtype=_F32)
+    for d in range(nd):
+        term = vdigs[d].astype(_F32) * _F32(2.0 ** (DIGIT_BITS * d - e))
+        hi, lo = dfloat.df_add_f32(hi, lo, term)
+    tail = borrow.astype(_F32) * _F32(2.0 ** (DIGIT_BITS * nd - e))
+    hi, lo = dfloat.df_add_f32(hi, lo, tail)
+    # Residual division by scale / 2**e in two-float.
+    c_hi, c_lo = dfloat.df_from_f64((2.0 ** e) / scale)
+    hi, lo = dfloat.df_mul(hi, lo, _F32(c_hi), _F32(c_lo))
+    return hi + lo

@@ -1,0 +1,207 @@
+"""Core CKKS homomorphic operations, batched over ciphertext chunks.
+
+A ciphertext is a uint32 array (chunks, 2, L_live, N) in the NTT/evaluation
+domain (bit-reversed order). One `encrypt` / `weighted_sum` / `decrypt` call
+processes an entire model's worth of chunks in a single XLA computation —
+this replaces the reference's per-chunk OpenMP loops (ckks.cpp:70-104) and
+its serial per-learner aggregation loop (ckks.cpp:273-298) with whole-batch
+vectorization plus (on a mesh) psum over the client axis.
+
+Scale bookkeeping follows the reference's EvalMult(ct, double) semantics
+(ckks.cpp:288): scalar multiplication raises the scale by ~31 bits (the
+scalar is encoded at the top rescale prime), and decode divides by the
+tracked exact scale, so decrypt is correct whether or not rescale() was
+called — matching PALISADE's depth-1 FedAvg usage where the result is
+decrypted right after the weighted average.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..rns import modops
+from ..ntt import ntt as ntt_mod
+from . import encoding
+from .params import CkksContext
+from .keys import (SecretKey, PublicKey, uniform_mod_q, ternary_coeffs,
+                   cbd_coeffs, lift_signed)
+
+_U32 = jnp.uint32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Ciphertext:
+    """RLWE ciphertext batch in the evaluation domain."""
+    data: jnp.ndarray                                    # (chunks, 2, live, N)
+    scale: float = dataclasses.field(metadata=dict(static=True))
+    level: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_chunks(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def live_limbs(self) -> int:
+        return int(self.data.shape[2])
+
+
+def _live_tables(ctx: CkksContext, live: int):
+    return ctx.tables.slice_limbs(0, live)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _encrypt_impl(ctx: CkksContext, pk: PublicKey, values: jnp.ndarray,
+                  rng_key, scale: float) -> jnp.ndarray:
+    """values: (chunks, N) f32 -> ct data (chunks, 2, L, N)."""
+    chunks, n = values.shape
+    L = ctx.num_limbs
+    q = ctx.q
+    qb = q[:, None]
+
+    pt = encoding.encode_coeff(ctx, values, scale)       # (chunks, L, N)
+    m_hat = ntt_mod.ntt(pt, ctx.tables)
+
+    k_u, k_e0, k_e1 = jax.random.split(rng_key, 3)
+    u_hat = ntt_mod.ntt(lift_signed(ternary_coeffs(k_u, (chunks, n)), q),
+                        ctx.tables)
+    e_hat = ntt_mod.ntt(
+        lift_signed(
+            jnp.stack([cbd_coeffs(k_e0, (chunks, n)),
+                       cbd_coeffs(k_e1, (chunks, n))], axis=1), q),
+        ctx.tables)                                      # (chunks, 2, L, N)
+
+    c0 = modops.add_mod(
+        modops.add_mod(
+            modops.mul_mod_shoup(u_hat, pk.p0, pk.p0_shoup, qb),
+            e_hat[:, 0], qb),
+        m_hat, qb)
+    c1 = modops.add_mod(
+        modops.mul_mod_shoup(u_hat, pk.p1, pk.p1_shoup, qb),
+        e_hat[:, 1], qb)
+    return jnp.stack([c0, c1], axis=1)
+
+
+def encrypt(ctx: CkksContext, pk: PublicKey, values: jnp.ndarray,
+            rng_key, scale: float | None = None) -> Ciphertext:
+    """Encrypt (chunks, N) f32 values. Mirrors cc->Encrypt (ckks.cpp:81)."""
+    scale = float(ctx.params.scale if scale is None else scale)
+    data = _encrypt_impl(ctx, pk, values, rng_key, scale)
+    return Ciphertext(data=data, scale=scale, level=0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _decrypt_impl(ctx: CkksContext, sk: SecretKey, data: jnp.ndarray,
+                  scale: float) -> jnp.ndarray:
+    live = data.shape[2]
+    qb = ctx.q[:live, None]
+    phase = modops.add_mod(
+        data[:, 0],
+        modops.mul_mod_shoup(data[:, 1], sk.s[:live], sk.s_shoup[:live], qb),
+        qb)
+    coeffs = ntt_mod.intt(phase, _live_tables(ctx, live))
+    return encoding.decode_coeff(ctx, coeffs, scale)
+
+
+def decrypt(ctx: CkksContext, sk: SecretKey, ct: Ciphertext) -> jnp.ndarray:
+    """Decrypt to (chunks, N) f32. Mirrors cc->Decrypt + GetRealPackedValue
+    (ckks.cpp:189-204)."""
+    return _decrypt_impl(ctx, sk, ct.data, ct.scale)
+
+
+def add(ctx: CkksContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """EvalAdd (ckks.cpp:296)."""
+    assert a.scale == b.scale and a.level == b.level
+    qb = ctx.q[:a.live_limbs, None]
+    return Ciphertext(data=modops.add_mod(a.data, b.data, qb),
+                      scale=a.scale, level=a.level)
+
+
+def _scalar_scale(ctx: CkksContext, level: int) -> float:
+    """Scalars are encoded at the current top rescale prime so a following
+    rescale() restores the original scale exactly."""
+    top = ctx.num_limbs - 1 - level
+    return float(ctx.params.moduli[top])
+
+
+def mul_scalar(ctx: CkksContext, ct: Ciphertext, w: float) -> Ciphertext:
+    """EvalMult(ct, double) (ckks.cpp:288): scale grows by the top prime."""
+    live = ct.live_limbs
+    ds = _scalar_scale(ctx, ct.level)
+    res, shoup = encoding.encode_scalar(ctx.params.moduli[:live], w, ds)
+    qb = ctx.q[:live, None]
+    data = modops.mul_mod_shoup(
+        ct.data, jnp.asarray(res)[:, None], jnp.asarray(shoup)[:, None], qb)
+    return Ciphertext(data=data, scale=ct.scale * ds, level=ct.level)
+
+
+@jax.jit
+def _weighted_sum_impl(ctx: CkksContext, stacked: jnp.ndarray,
+                       w_res: jnp.ndarray, w_shoup: jnp.ndarray):
+    """stacked: (K, chunks, 2, live, N); w_*: (K, live).
+
+    THE FedAvg hot op — replaces the reference's serial per-learner
+    EvalMult+EvalAdd loop (ckks.cpp:273-298) with one fused reduction.
+    """
+    live = stacked.shape[3]
+    qb = ctx.q[:live, None]
+    K = stacked.shape[0]
+    acc = modops.mul_mod_shoup(
+        stacked[0], w_res[0][:, None], w_shoup[0][:, None], qb)
+    for k in range(1, K):
+        term = modops.mul_mod_shoup(
+            stacked[k], w_res[k][:, None], w_shoup[k][:, None], qb)
+        acc = modops.add_mod(acc, term, qb)
+    return acc
+
+
+def weighted_sum(ctx: CkksContext, cts: list[Ciphertext],
+                 weights: list[float]) -> Ciphertext:
+    """computeWeightedAverage core (ckks.cpp:264-320), fused."""
+    assert len(cts) == len(weights)
+    ct0 = cts[0]
+    live = ct0.live_limbs
+    ds = _scalar_scale(ctx, ct0.level)
+    res_l, shoup_l = [], []
+    for w in weights:
+        r, s = encoding.encode_scalar(ctx.params.moduli[:live], float(w), ds)
+        res_l.append(r)
+        shoup_l.append(s)
+    stacked = jnp.stack([c.data for c in cts])
+    data = _weighted_sum_impl(
+        ctx, stacked,
+        jnp.asarray(np.stack(res_l)), jnp.asarray(np.stack(shoup_l)))
+    return Ciphertext(data=data, scale=ct0.scale * ds, level=ct0.level)
+
+
+@jax.jit
+def _rescale_impl(ctx: CkksContext, data: jnp.ndarray, level: int = 0):
+    # level is re-derived from shapes; kept only in the wrapper.
+    live = data.shape[2]
+    t = live - 1
+    lvl = ctx.num_limbs - live            # current level before rescale
+    q = ctx.q
+    qt_poly = ntt_mod.intt(data[:, :, t:t + 1, :],
+                           ctx.tables.slice_limbs(t, t + 1))  # (chunks,2,1,N)
+    # Reduce the (coefficient-domain) top-limb poly mod each remaining q_j:
+    # values < q_t < 2*q_j, one conditional subtraction.
+    qj = q[:t, None]
+    delta = jnp.where(qt_poly >= qj, qt_poly - qj, qt_poly)   # (chunks,2,t,N)
+    delta_hat = ntt_mod.ntt(delta, ctx.tables.slice_limbs(0, t))
+    inv, inv_shoup = ctx.rescale_inv[lvl]
+    num = modops.sub_mod(data[:, :, :t, :], delta_hat, qj)
+    return modops.mul_mod_shoup(num, inv[:, None], inv_shoup[:, None], qj)
+
+
+def rescale(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
+    """Drop the top limb and divide scale by its prime (RNS rescale)."""
+    assert ct.level < ctx.params.mult_depth, "no rescale levels left"
+    t_idx = ct.live_limbs - 1
+    qt = ctx.params.moduli[t_idx]
+    data = _rescale_impl(ctx, ct.data)
+    return Ciphertext(data=data, scale=ct.scale / qt, level=ct.level + 1)

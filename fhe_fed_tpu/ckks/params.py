@@ -15,8 +15,9 @@ carried across a *product* of base primes rather than PALISADE's single
     [b_0 .. b_{B-1} | r_1 .. r_D]
 
 with base primes b_i (31-bit) whose product covers scale + headroom, and one
-30/31-bit rescale prime r_j per multiplicative level. Plaintext scalars are
-encoded at scale exactly r_j so rescaling restores Delta exactly.
+31-bit rescale prime r_j per multiplicative level. Plaintext scalars are
+encoded at a scale tracked exactly, so decode stays exact regardless of the
+rescale history.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import dataclasses
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..rns import primes as primes_mod
@@ -34,6 +36,10 @@ from ..ntt import tables as ntt_tables
 # Headroom above the message scale so |value| * Delta + noise stays well
 # below the base modulus at decryption (values up to ~2**20, noise margin).
 _HEADROOM_BITS = 34
+
+ENCODE_DIGITS = 6          # 6 x 16-bit digits = 96 bits of |round(m * Delta)|
+DIGIT_BITS = 16
+_DIGIT_MASK = (1 << DIGIT_BITS) - 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,7 +79,6 @@ def make_params(batch: int = 4096, scale_bits: int = 52,
     """Mirror of genCryptoContextCKKS(multDepth, scaleFactorBits, batchSize)
     (reference ckks.cpp:26-28) for the uint32-limb TPU backend."""
     num_base = max(2, math.ceil((scale_bits + _HEADROOM_BITS) / 31))
-    # Total modulus estimate: base primes at 31 bits, rescale primes at 31.
     log_q = 31 * (num_base + mult_depth)
     n_sec = primes_mod.min_ring_dim_128(log_q)
     n = max(2 * batch, n_sec)
@@ -86,47 +91,31 @@ def make_params(batch: int = 4096, scale_bits: int = 52,
         mult_depth=mult_depth, moduli=moduli, num_base=num_base)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
-class CkksContext:
-    """Device-resident precomputed context: twiddle tables plus encode/decode
-    and rescale constants, all derived from CkksParams."""
-    params: CkksParams
-    tables: ntt_tables.NttTables
-    q: jnp.ndarray                 # (L,) uint32
-    mu: jnp.ndarray                # (L,) Barrett constants
-    # Encode: powers 2**(16*j) mod q_l, shape (DIGITS, L), plus Shoup words.
-    enc_pow: jnp.ndarray
-    enc_pow_shoup: jnp.ndarray
-    # Decode (exact CRT): see ckks/encoding.py. Per level (list index = number
-    # of live limbs - 1): punc_inv[l] = (Q/q_l)^{-1} mod q_l and digit tables.
-    dec_consts: tuple               # tuple over live-limb-count of dicts
-    # Rescale: for dropping limb l_top: inv of q_top mod q_j, shape (L-1,)
-    rescale_inv: tuple              # tuple over level of (inv, inv_shoup) arrays
-
-    class _H:
-        pass
+class DecodeConsts:
+    """Exact-CRT decode constants for `live` limbs (see encoding.py)."""
+    live: int = dataclasses.field(metadata=dict(static=True))
+    ndig: int = dataclasses.field(metadata=dict(static=True))   # digit planes
+    punc_inv: jnp.ndarray          # (live,)   (Q/q_l)^{-1} mod q_l
+    punc_inv_shoup: jnp.ndarray    # (live,)
+    m_digits: jnp.ndarray          # (live, ndig) 16-bit digits of Q/q_l
+    kq_digits: jnp.ndarray         # (live+1, ndig) digits of k*Q
+    q_digits: jnp.ndarray          # (ndig,) digits of Q
+    inv_q_f32: jnp.ndarray         # (live,) 1/q_l as f32
 
 
-ENCODE_DIGITS = 5          # 5 x 16-bit digits = 80 bits of |round(m * Delta)|
-DECODE_DIGIT_BITS = 16
-
-
-def _make_decode_consts(moduli: tuple[int, ...], live: int):
-    """Exact-CRT decode constants for the first `live` limbs.
-
-    v = sum_l y_l * M_l - k * Q  with  y_l = x_l * punc_inv_l mod q_l,
-    M_l = Q / q_l, k = round(sum y_l / q_l).  All M_l, k*Q as base-2**16
-    digit arrays (uint32 per digit).
-    """
+def _make_decode_consts(moduli: tuple[int, ...], live: int) -> DecodeConsts:
     qs = moduli[:live]
     Q = 1
     for q in qs:
         Q *= q
-    ndig = (Q.bit_length() + DECODE_DIGIT_BITS - 1) // DECODE_DIGIT_BITS
-    mask = (1 << DECODE_DIGIT_BITS) - 1
+    # Two extra digit planes absorb the live-fold accumulation overflow and
+    # the k*Q subtraction slack.
+    ndig = (Q.bit_length() + DIGIT_BITS - 1) // DIGIT_BITS + 2
 
     def digits(v: int) -> np.ndarray:
-        return np.array([(v >> (DECODE_DIGIT_BITS * d)) & mask
+        return np.array([(v >> (DIGIT_BITS * d)) & _DIGIT_MASK
                          for d in range(ndig)], dtype=np.uint32)
 
     punc_inv = []
@@ -135,21 +124,44 @@ def _make_decode_consts(moduli: tuple[int, ...], live: int):
         M = Q // q
         punc_inv.append(pow(M % q, q - 2, q))
         m_digits[l] = digits(M)
+    punc_inv = np.array(punc_inv, dtype=np.uint32)
     kq_digits = np.stack([digits(k * Q) for k in range(live + 1)])
-    half_q_digits = digits(Q // 2)
-    return dict(
+    return DecodeConsts(
         live=live,
-        punc_inv=np.array(punc_inv, dtype=np.uint32),
-        punc_inv_shoup=modops.shoup_precompute(
-            np.array(punc_inv, dtype=np.uint32),
-            np.array(qs, dtype=np.uint32)),
-        m_digits=m_digits,            # (live, ndig) uint32 16-bit digits
-        kq_digits=kq_digits,          # (live+1, ndig)
-        q_digits=digits(Q),           # (ndig,)
-        half_q_digits=half_q_digits,  # (ndig,)
-        inv_q_float=np.array([1.0 / q for q in qs], dtype=np.float64),
         ndig=ndig,
+        punc_inv=jnp.asarray(punc_inv),
+        punc_inv_shoup=jnp.asarray(modops.shoup_precompute(
+            punc_inv, np.array(qs, dtype=np.uint32))),
+        m_digits=jnp.asarray(m_digits),
+        kq_digits=jnp.asarray(kq_digits),
+        q_digits=jnp.asarray(digits(Q)),
+        inv_q_f32=jnp.asarray(np.array([1.0 / q for q in qs],
+                                       dtype=np.float32)),
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CkksContext:
+    """Device-resident precomputed context derived from CkksParams."""
+    params: CkksParams = dataclasses.field(metadata=dict(static=True))
+    tables: ntt_tables.NttTables
+    q: jnp.ndarray                 # (L,) uint32
+    mu: jnp.ndarray                # (L,) Barrett constants
+    pow32: jnp.ndarray             # (L,) 2**32 mod q (uniform sampling)
+    pow32_shoup: jnp.ndarray
+    enc_pow: jnp.ndarray           # (ENCODE_DIGITS, L) 2**(16j) mod q
+    enc_pow_shoup: jnp.ndarray
+    dec_consts: tuple              # tuple[DecodeConsts], index = live-1
+    rescale_inv: tuple             # per level: (inv q_top mod q_j, shoup)
+
+    @property
+    def ring_dim(self) -> int:
+        return self.params.ring_dim
+
+    @property
+    def num_limbs(self) -> int:
+        return self.params.num_limbs
 
 
 def make_context(params: CkksParams) -> CkksContext:
@@ -160,14 +172,13 @@ def make_context(params: CkksParams) -> CkksContext:
     tb = ntt_tables.make_tables(n, moduli)
     mu = np.array([modops.barrett_precompute(q) for q in moduli],
                   dtype=np.uint32)
-    # Encode digit base powers 2**(16*j) mod q_l.
+    pow32 = np.array([(1 << 32) % q for q in moduli], dtype=np.uint32)
     enc_pow = np.zeros((ENCODE_DIGITS, L), dtype=np.uint32)
     for j in range(ENCODE_DIGITS):
         for l, q in enumerate(moduli):
-            enc_pow[j, l] = pow(2, 16 * j, q)
+            enc_pow[j, l] = pow(2, DIGIT_BITS * j, q)
     dec_consts = tuple(_make_decode_consts(moduli, live)
                        for live in range(1, L + 1))
-    # Rescale constants: dropping the current top limb t (level -> t index).
     rescale = []
     for level in range(params.mult_depth):
         t = L - 1 - level              # index of limb being dropped
@@ -183,6 +194,8 @@ def make_context(params: CkksParams) -> CkksContext:
         tables=tb,
         q=jnp.asarray(qs),
         mu=jnp.asarray(mu),
+        pow32=jnp.asarray(pow32),
+        pow32_shoup=jnp.asarray(modops.shoup_precompute(pow32, qs)),
         enc_pow=jnp.asarray(enc_pow),
         enc_pow_shoup=jnp.asarray(
             modops.shoup_precompute(enc_pow, qs[None, :])),
