@@ -1,0 +1,171 @@
+"""User-facing CKKS scheme — drop-in API surface of the reference binding.
+
+    from fhe_fed_tpu import CKKS
+    helper = CKKS()                        # "ckks", 4096, 52, cryptodir
+    helper.genCryptoContextAndKeyGen()
+    helper.loadCryptoParams()
+    ct = helper.encrypt(flat_np_array)
+    agg = helper.computeWeightedAverage([ct1, ct2, ct3], [0.5, 0.2, 0.3])
+    out = helper.decrypt(agg, dims)
+
+Defaults and method names mirror PYBIND11_MODULE(SHELFI_FHE)
+(binding.cpp:19-31): CKKS("ckks", batchSize=4096, scaleFactorBits=52,
+cryptodir="../resources/cryptoparams/"). Key material persists to
+cryptodir/{cryptocontext.txt, key-public.txt, key-private.txt}, matching
+genCryptoContextAndKeyGen / loadCryptoParams file behavior
+(ckks.cpp:25-59, 11-23) — contents are this framework's own wire format
+(PALISADE blobs are not interoperable; parity is behavioral).
+
+Chunking follows ckks.cpp:65 (cipherSize = ceil(size / batchSize)) and the
+decrypt tail rule (ckks.cpp:192-196). `dense_pack=True` additionally packs
+the full ring (2x batch) per chunk — a TPU-side win the CPU reference
+doesn't offer (halves ciphertext count and bytes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import secrets
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ckks import params as ckks_params
+from ..ckks import keys as ckks_keys
+from ..ckks import ops as ckks_ops
+from ..ckks import serial as ckks_serial
+from .scheme import Scheme, register_scheme
+
+_CTX_FILE = "cryptocontext.txt"
+_PK_FILE = "key-public.txt"
+_SK_FILE = "key-private.txt"
+
+
+@register_scheme("ckks")
+class CKKS(Scheme):
+    def __init__(self, scheme: str = "ckks", batchSize: int = 4096,
+                 scaleFactorBits: int = 52,
+                 cryptodir: str = "../resources/cryptoparams/",
+                 mult_depth: int = 1, dense_pack: bool = False,
+                 seed: int | None = None):
+        super().__init__(scheme)
+        self.batchSize = int(batchSize)
+        self.scaleFactorBits = int(scaleFactorBits)
+        self.cryptodir = cryptodir
+        self.mult_depth = int(mult_depth)
+        self.dense_pack = bool(dense_pack)
+        self._params = ckks_params.make_params(
+            batch=self.batchSize, scale_bits=self.scaleFactorBits,
+            mult_depth=self.mult_depth)
+        self._ctx = None
+        self._sk = None
+        self._pk = None
+        self._rng = jax.random.key(
+            secrets.randbits(63) if seed is None else seed)
+
+    # -- context / key lifecycle ------------------------------------------
+
+    @property
+    def ctx(self) -> ckks_params.CkksContext:
+        if self._ctx is None:
+            self._ctx = ckks_params.make_context(self._params)
+        return self._ctx
+
+    @property
+    def capacity(self) -> int:
+        """Values packed per ciphertext chunk."""
+        return self._params.ring_dim if self.dense_pack else self.batchSize
+
+    def genCryptoContextAndKeyGen(self) -> int:
+        """Generate context + keys and persist them (ckks.cpp:25-59)."""
+        ctx = self.ctx
+        sk, pk = ckks_keys.keygen(
+            ctx, seed=int(jax.random.bits(self._next_key(), (), jnp.uint32)))
+        self._sk, self._pk = sk, pk
+        os.makedirs(self.cryptodir, exist_ok=True)
+        meta = dict(scheme="ckks", batchSize=self.batchSize,
+                    scaleFactorBits=self.scaleFactorBits,
+                    mult_depth=self.mult_depth,
+                    ring_dim=self._params.ring_dim,
+                    moduli=list(self._params.moduli),
+                    num_base=self._params.num_base)
+        with open(os.path.join(self.cryptodir, _CTX_FILE), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(self.cryptodir, _PK_FILE), "wb") as f:
+            f.write(ckks_serial.serialize_public_key(ctx, pk))
+        with open(os.path.join(self.cryptodir, _SK_FILE), "wb") as f:
+            f.write(ckks_serial.serialize_secret_key(ctx, sk))
+        return 1
+
+    def loadCryptoParams(self) -> None:
+        """Load persisted context + keys (ckks.cpp:11-23)."""
+        with open(os.path.join(self.cryptodir, _CTX_FILE)) as f:
+            meta = json.load(f)
+        if (meta["batchSize"] != self.batchSize
+                or meta["scaleFactorBits"] != self.scaleFactorBits):
+            raise ValueError("persisted crypto context does not match "
+                             "constructor parameters")
+        with open(os.path.join(self.cryptodir, _PK_FILE), "rb") as f:
+            self._pk = ckks_serial.deserialize_public_key(f.read())
+        with open(os.path.join(self.cryptodir, _SK_FILE), "rb") as f:
+            self._sk = ckks_serial.deserialize_secret_key(f.read())
+
+    def load_or_gen(self) -> None:
+        try:
+            self.loadCryptoParams()
+        except (FileNotFoundError, ValueError):
+            self.genCryptoContextAndKeyGen()
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    # -- data path ---------------------------------------------------------
+
+    def _pack(self, flat: np.ndarray) -> jnp.ndarray:
+        """flat (size,) -> (chunks, N) f32 with zeros in unused positions."""
+        n = self._params.ring_dim
+        cap = self.capacity
+        size = flat.size
+        chunks = max(1, -(-size // cap))
+        buf = np.zeros((chunks, n), dtype=np.float32)
+        payload = buf[:, :cap].reshape(-1)
+        payload[:size] = flat.astype(np.float32, copy=False)
+        buf[:, :cap] = payload.reshape(chunks, cap)
+        return jnp.asarray(buf)
+
+    def _unpack(self, vals: np.ndarray, dims: int) -> np.ndarray:
+        cap = self.capacity
+        return vals[:, :cap].reshape(-1)[:dims].astype(np.float64)
+
+    def encrypt(self, data_array) -> bytes:
+        """Encrypt a flat float vector -> ciphertext bytes (ckks.cpp:61-104)."""
+        if self._pk is None:
+            raise RuntimeError("call loadCryptoParams() or "
+                               "genCryptoContextAndKeyGen() first")
+        flat = np.asarray(data_array).reshape(-1)
+        ct = ckks_ops.encrypt(self.ctx, self._pk, self._pack(flat),
+                              self._next_key())
+        return ckks_serial.serialize_ct(self.ctx, ct)
+
+    def computeWeightedAverage(self, learner_data: list[bytes],
+                               scaling_factors: list[float]) -> bytes:
+        """Fused encrypted weighted average (ckks.cpp:264-320)."""
+        if len(learner_data) != len(scaling_factors):
+            raise ValueError(
+                "Error: learner_data and scaling_factors size mismatch")
+        cts = [ckks_serial.deserialize_ct(self.ctx, b) for b in learner_data]
+        agg = ckks_ops.weighted_sum(self.ctx, cts,
+                                    [float(s) for s in scaling_factors])
+        return ckks_serial.serialize_ct(self.ctx, agg)
+
+    def decrypt(self, learner_data: bytes, data_dimensions: int) -> np.ndarray:
+        """Decrypt ciphertext bytes -> float64 vector of `data_dimensions`
+        (ckks.cpp:170-213 incl. tail-length rule)."""
+        if self._sk is None:
+            raise RuntimeError("call loadCryptoParams() first")
+        ct = ckks_serial.deserialize_ct(self.ctx, learner_data)
+        vals = np.asarray(ckks_ops.decrypt(self.ctx, self._sk, ct))
+        return self._unpack(vals, int(data_dimensions))
