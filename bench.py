@@ -1,0 +1,103 @@
+"""Headline benchmark: encrypted FedAvg of the reference's CNN-scale model
+(1,663,370 params — CNN_OriginalFedAvg, benchmark.py:152-219) across 3
+clients at the production crypto point (batchSize=4096, scaleFactorBits=52,
+binding.cpp:19-23).
+
+Reference baseline: 2.456 s total secure-agg wall-clock on CPU
+(figs/processing.py:37-48, BASELINE.md). We measure the same enc + agg + dec
+phases (device-complete via block_until_ready), after a warmup round so XLA
+compile time is excluded — matching the reference, whose PALISADE code is
+AOT-compiled C++.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Persistent compilation cache: first-ever compile on the remote TPU service
+# is slow (minutes); cached thereafter.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+CNN_PARAMS = 1_663_370
+N_CLIENTS = 3
+BASELINE_S = 2.456
+
+
+def main():
+    from fhe_fed_tpu.ckks import params as P, keys as K, ops as O
+    from fhe_fed_tpu.ckks import encoding as E
+
+    t0 = time.time()
+    params = P.make_params(batch=4096, scale_bits=52, mult_depth=1)
+    ctx = P.make_context(params)
+    sk, pk = K.keygen(ctx, seed=0)
+    init_s = time.time() - t0
+
+    cap = params.batch
+    chunks = -(-CNN_PARAMS // cap)
+    n = params.ring_dim
+    rng = np.random.default_rng(0)
+    weights = [1.0 / N_CLIENTS] * N_CLIENTS
+
+    def make_client(i):
+        buf = np.zeros((chunks, n), dtype=np.float32)
+        flat = rng.standard_normal(CNN_PARAMS).astype(np.float32) * 0.1
+        pay = buf[:, :cap].reshape(-1)
+        pay[:CNN_PARAMS] = flat
+        buf[:, :cap] = pay.reshape(chunks, cap)
+        return jnp.asarray(buf), flat
+
+    clients = [make_client(i) for i in range(N_CLIENTS)]
+
+    def run_round(tag):
+        # Encrypt (all chunks of one client per call — one XLA dispatch).
+        enc_t = time.time()
+        cts = []
+        for i, (vals, _) in enumerate(clients):
+            ct = O.encrypt(ctx, pk, vals, jax.random.key(1000 * tag + i))
+            cts.append(ct)
+        jax.block_until_ready([c.data for c in cts])
+        enc_s = time.time() - enc_t
+
+        agg_t = time.time()
+        agg = O.weighted_sum(ctx, cts, weights)
+        jax.block_until_ready(agg.data)
+        agg_s = time.time() - agg_t
+
+        dec_t = time.time()
+        out = O.decrypt(ctx, sk, agg)
+        out = jax.block_until_ready(out)
+        dec_s = time.time() - dec_t
+        return enc_s, agg_s, dec_s, np.asarray(out)
+
+    run_round(1)                      # warmup / compile
+    enc_s, agg_s, dec_s, out = run_round(2)
+
+    # Correctness guard: decrypted average matches plaintext average.
+    flat_out = out[:, :cap].reshape(-1)[:CNN_PARAMS]
+    want = sum(w * f for w, (_, f) in zip(weights, clients))
+    err = float(np.max(np.abs(flat_out - want)))
+    total = enc_s + agg_s + dec_s
+
+    print(json.dumps({
+        "metric": "fedavg_cnn1.66M_3clients_enc_agg_dec",
+        "value": round(total, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / total, 2),
+        "phases": {"init": round(init_s, 4), "encrypt": round(enc_s, 4),
+                   "aggregate": round(agg_s, 4), "decrypt": round(dec_s, 4)},
+        "max_err": err,
+        "config": {"batch": 4096, "scale_bits": 52, "ring_dim": params.ring_dim,
+                   "limbs": params.num_limbs, "chunks": chunks,
+                   "backend": jax.default_backend()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

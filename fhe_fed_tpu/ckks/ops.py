@@ -140,6 +140,34 @@ def mul_scalar(ctx: CkksContext, ct: Ciphertext, w: float) -> Ciphertext:
     return Ciphertext(data=data, scale=ct.scale * ds, level=ct.level)
 
 
+def _mod_u32(x: jnp.ndarray, qb: jnp.ndarray) -> jnp.ndarray:
+    """Reduce an arbitrary uint32 mod q for q > 2**30 (<= 3 subtractions)."""
+    x = jnp.where(x >= (qb << 1), x - (qb << 1), x)
+    x = jnp.where(x >= qb, x - qb, x)
+    return jnp.where(x >= qb, x - qb, x)
+
+
+def modsum_clients(terms: jnp.ndarray, qb: jnp.ndarray,
+                   pow32b: jnp.ndarray, pow32b_shoup: jnp.ndarray):
+    """Modular sum over axis 0 (the client axis) via 16-bit split
+    accumulation: the lo/hi half sums never overflow uint32 for up to 65536
+    clients, and jnp.sum lowers to a native XLA reduction — which becomes a
+    psum over ICI when the client axis is mesh-sharded.
+
+    value = lo + hi * 2**16 with hi = a * 2**16 + b:
+      value mod q = [lo]_q + [b << 16]_q + a * [2**32]_q.
+    """
+    assert terms.shape[0] <= 65536
+    lo = jnp.sum(terms & _U32(0xFFFF), axis=0)     # < K * 2**16 <= 2**32
+    hi = jnp.sum(terms >> 16, axis=0)              # < K * 2**16
+    a = hi >> 16
+    b = hi & _U32(0xFFFF)
+    r = _mod_u32(lo, qb)
+    r = modops.add_mod(r, _mod_u32(b << 16, qb), qb)
+    a32 = modops.mul_mod_shoup(a, pow32b, pow32b_shoup, qb)
+    return modops.add_mod(r, a32, qb)
+
+
 @jax.jit
 def _weighted_sum_impl(ctx: CkksContext, stacked: jnp.ndarray,
                        w_res: jnp.ndarray, w_shoup: jnp.ndarray):
@@ -150,14 +178,11 @@ def _weighted_sum_impl(ctx: CkksContext, stacked: jnp.ndarray,
     """
     live = stacked.shape[3]
     qb = ctx.q[:live, None]
-    K = stacked.shape[0]
-    acc = modops.mul_mod_shoup(
-        stacked[0], w_res[0][:, None], w_shoup[0][:, None], qb)
-    for k in range(1, K):
-        term = modops.mul_mod_shoup(
-            stacked[k], w_res[k][:, None], w_shoup[k][:, None], qb)
-        acc = modops.add_mod(acc, term, qb)
-    return acc
+    terms = modops.mul_mod_shoup(
+        stacked, w_res[:, None, None, :, None],
+        w_shoup[:, None, None, :, None], qb)
+    return modsum_clients(terms, qb, ctx.pow32[:live, None],
+                          ctx.pow32_shoup[:live, None])
 
 
 def weighted_sum(ctx: CkksContext, cts: list[Ciphertext],
