@@ -43,7 +43,7 @@ _F32 = jnp.float32
 
 
 def encode_coeff(ctx: CkksContext, values: jnp.ndarray,
-                 scale: float) -> jnp.ndarray:
+                 scale: float, num_limbs: int | None = None) -> jnp.ndarray:
     """Encode f32 values (..., N) -> residues (..., L, N), coefficient order.
 
     `scale` must be a power of two (message encode path); scalars with
@@ -64,13 +64,14 @@ def encode_coeff(ctx: CkksContext, values: jnp.ndarray,
         d = jnp.floor(r / p)
         r = r - d * p
         digs.append((j, d))
-    L = ctx.num_limbs
-    qb = ctx.q[:, None]
+    L = num_limbs if num_limbs is not None else ctx.params.chain_len
+    qb = ctx.q[:L, None]
     acc = jnp.zeros(values.shape[:-1] + (L, values.shape[-1]), dtype=_U32)
     for j, d in digs:
         du = d.astype(_I32).astype(_U32)[..., None, :]
         term = modops.mul_mod_shoup(
-            du, ctx.enc_pow[j][:, None], ctx.enc_pow_shoup[j][:, None], qb)
+            du, ctx.enc_pow[j, :L][:, None], ctx.enc_pow_shoup[j, :L][:, None],
+            qb)
         acc = modops.add_mod(acc, term, qb)
     return jnp.where(sign[..., None, :], modops.neg_mod(acc, qb), acc)
 
@@ -144,16 +145,38 @@ def decode_coeff(ctx: CkksContext, residues: jnp.ndarray,
         borrow = r >> 16                               # 0 or -1
     # v = sum vdigs[d] * 2**(16d) + borrow * 2**(16*nd)
 
+    # Fold the sign into the digits (two's complement -> magnitude) so the
+    # high planes of negative values are zeros, not all-ones: otherwise
+    # their float terms overflow f32 (inf - inf = NaN) whenever
+    # log2(Q) - log2(scale) exceeds ~112 bits.
+    neg = borrow < 0
+    mag = []
+    carry = jnp.where(neg, _I32(1), _I32(0))
+    for d in range(nd):
+        t = jnp.where(neg, _I32(0xFFFF) - vdigs[d], vdigs[d]) + carry
+        mag.append(t & _I32(0xFFFF))
+        carry = t >> 16
+
     # Two-float sum of exact terms digit * 2**(16d) / 2**floor_log2(scale).
+    # Planes whose weight 2**(16d - e) exceeds the f32 exponent range can
+    # only be nonzero when |v|/scale is not f32-representable (decryption
+    # noise blow-up): their weight constant would be inf and 0 * inf = NaN
+    # would poison every healthy coefficient (XLA re-associates split
+    # factors back together, so two-factor tricks don't survive jit).
+    # Skip them and surface +/-inf when they are in fact nonzero.
     e = math.floor(math.log2(scale))
     hi = jnp.zeros(k.shape, dtype=_F32)
     lo = jnp.zeros(k.shape, dtype=_F32)
+    overflow = jnp.zeros(k.shape, dtype=bool)
     for d in range(nd):
-        term = vdigs[d].astype(_F32) * _F32(2.0 ** (DIGIT_BITS * d - e))
+        ex = DIGIT_BITS * d - e
+        if ex > 127:
+            overflow = overflow | (mag[d] > 0)
+            continue
+        term = mag[d].astype(_F32) * _F32(2.0 ** ex)
         hi, lo = dfloat.df_add_f32(hi, lo, term)
-    tail = borrow.astype(_F32) * _F32(2.0 ** (DIGIT_BITS * nd - e))
-    hi, lo = dfloat.df_add_f32(hi, lo, tail)
+    hi = jnp.where(overflow, _F32(jnp.inf), hi)
     # Residual division by scale / 2**e in two-float.
     c_hi, c_lo = dfloat.df_from_f64((2.0 ** e) / scale)
     hi, lo = dfloat.df_mul(hi, lo, _F32(c_hi), _F32(c_lo))
-    return hi + lo
+    return (hi + lo) * jnp.where(neg, _F32(-1.0), _F32(1.0))

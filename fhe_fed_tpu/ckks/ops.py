@@ -55,36 +55,43 @@ def _live_tables(ctx: CkksContext, live: int):
     return ctx.tables.slice_limbs(0, live)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _encrypt_impl(ctx: CkksContext, pk: PublicKey, values: jnp.ndarray,
-                  rng_key, scale: float) -> jnp.ndarray:
-    """values: (chunks, N) f32 -> ct data (chunks, 2, L, N)."""
-    chunks, n = values.shape
-    L = ctx.num_limbs
-    q = ctx.q
+@jax.jit
+def _encrypt_pt_impl(ctx: CkksContext, pk: PublicKey, pt: jnp.ndarray,
+                     rng_key) -> jnp.ndarray:
+    """pt: (chunks, chain, N) coefficient-order residues -> ct data
+    (chunks, 2, chain, N). RLWE: (b*u + e0 + m, a*u + e1)."""
+    chunks, L, n = pt.shape
+    assert L == ctx.params.chain_len
+    q = ctx.q[:L]
     qb = q[:, None]
-
-    pt = encoding.encode_coeff(ctx, values, scale)       # (chunks, L, N)
-    m_hat = ntt_mod.ntt(pt, ctx.tables)
+    tb = ctx.tables.slice_limbs(0, L)
+    m_hat = ntt_mod.ntt(pt, tb)
 
     k_u, k_e0, k_e1 = jax.random.split(rng_key, 3)
-    u_hat = ntt_mod.ntt(lift_signed(ternary_coeffs(k_u, (chunks, n)), q),
-                        ctx.tables)
+    u_hat = ntt_mod.ntt(lift_signed(ternary_coeffs(k_u, (chunks, n)), q), tb)
     e_hat = ntt_mod.ntt(
         lift_signed(
             jnp.stack([cbd_coeffs(k_e0, (chunks, n)),
                        cbd_coeffs(k_e1, (chunks, n))], axis=1), q),
-        ctx.tables)                                      # (chunks, 2, L, N)
+        tb)                                              # (chunks, 2, L, N)
 
     c0 = modops.add_mod(
         modops.add_mod(
-            modops.mul_mod_shoup(u_hat, pk.p0, pk.p0_shoup, qb),
+            modops.mul_mod_shoup(u_hat, pk.p0[:L], pk.p0_shoup[:L], qb),
             e_hat[:, 0], qb),
         m_hat, qb)
     c1 = modops.add_mod(
-        modops.mul_mod_shoup(u_hat, pk.p1, pk.p1_shoup, qb),
+        modops.mul_mod_shoup(u_hat, pk.p1[:L], pk.p1_shoup[:L], qb),
         e_hat[:, 1], qb)
     return jnp.stack([c0, c1], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _encrypt_impl(ctx: CkksContext, pk: PublicKey, values: jnp.ndarray,
+                  rng_key, scale: float) -> jnp.ndarray:
+    """values: (chunks, N) f32 -> ct data (chunks, 2, chain, N)."""
+    pt = encoding.encode_coeff(ctx, values, scale)       # (chunks, chain, N)
+    return _encrypt_pt_impl(ctx, pk, pt, rng_key)
 
 
 def encrypt(ctx: CkksContext, pk: PublicKey, values: jnp.ndarray,
@@ -93,6 +100,14 @@ def encrypt(ctx: CkksContext, pk: PublicKey, values: jnp.ndarray,
     scale = float(ctx.params.scale if scale is None else scale)
     data = _encrypt_impl(ctx, pk, values, rng_key, scale)
     return Ciphertext(data=data, scale=scale, level=0)
+
+
+def encrypt_encoded(ctx: CkksContext, pk: PublicKey, pt: jnp.ndarray,
+                    rng_key, scale: float) -> Ciphertext:
+    """Encrypt already-encoded residues (chunks, chain, N), e.g. slot-packed
+    plaintexts from slots.encode_slots."""
+    data = _encrypt_pt_impl(ctx, pk, pt, rng_key)
+    return Ciphertext(data=data, scale=float(scale), level=0)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
@@ -114,6 +129,25 @@ def decrypt(ctx: CkksContext, sk: SecretKey, ct: Ciphertext) -> jnp.ndarray:
     return _decrypt_impl(ctx, sk, ct.data, ct.scale)
 
 
+@jax.jit
+def _phase_coeffs_impl(ctx: CkksContext, sk: SecretKey,
+                       data: jnp.ndarray) -> jnp.ndarray:
+    live = data.shape[2]
+    qb = ctx.q[:live, None]
+    phase = modops.add_mod(
+        data[:, 0],
+        modops.mul_mod_shoup(data[:, 1], sk.s[:live], sk.s_shoup[:live], qb),
+        qb)
+    return ntt_mod.intt(phase, _live_tables(ctx, live))
+
+
+def decrypt_residues(ctx: CkksContext, sk: SecretKey,
+                     ct: Ciphertext) -> jnp.ndarray:
+    """Decrypt to raw coefficient-order residues (chunks, live, N) — for
+    alternative decoders (slots.decode_slots)."""
+    return _phase_coeffs_impl(ctx, sk, ct.data)
+
+
 def add(ctx: CkksContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     """EvalAdd (ckks.cpp:296)."""
     assert a.scale == b.scale and a.level == b.level
@@ -125,7 +159,7 @@ def add(ctx: CkksContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
 def _scalar_scale(ctx: CkksContext, level: int) -> float:
     """Scalars are encoded at the current top rescale prime so a following
     rescale() restores the original scale exactly."""
-    top = ctx.num_limbs - 1 - level
+    top = ctx.params.chain_len - 1 - level
     return float(ctx.params.moduli[top])
 
 
@@ -209,7 +243,7 @@ def _rescale_impl(ctx: CkksContext, data: jnp.ndarray, level: int = 0):
     # level is re-derived from shapes; kept only in the wrapper.
     live = data.shape[2]
     t = live - 1
-    lvl = ctx.num_limbs - live            # current level before rescale
+    lvl = ctx.params.chain_len - live     # current level before rescale
     q = ctx.q
     qt_poly = ntt_mod.intt(data[:, :, t:t + 1, :],
                            ctx.tables.slice_limbs(t, t + 1))  # (chunks,2,1,N)

@@ -49,12 +49,23 @@ class CkksParams:
     batch: int
     scale_bits: int
     mult_depth: int
-    moduli: tuple[int, ...]        # base primes then rescale primes
-    num_base: int                  # how many leading primes are base primes
+    moduli: tuple[int, ...]   # base primes | rescale primes | special primes
+    num_base: int             # how many leading primes are base primes
+    num_special: int = 0      # trailing key-switch primes (never in cts)
 
     @property
     def num_limbs(self) -> int:
         return len(self.moduli)
+
+    @property
+    def chain_len(self) -> int:
+        """Limbs available to ciphertexts (excludes special primes)."""
+        return len(self.moduli) - self.num_special
+
+    @property
+    def special_prime(self) -> int:
+        assert self.num_special == 1
+        return self.moduli[-1]
 
     @property
     def scale(self) -> float:
@@ -71,24 +82,30 @@ class CkksParams:
     def limbs_at_level(self, level: int) -> int:
         """Number of live limbs for a ciphertext at `level` (0 = fresh)."""
         assert 0 <= level <= self.mult_depth
-        return self.num_limbs - level
+        return self.chain_len - level
 
 
 def make_params(batch: int = 4096, scale_bits: int = 52,
-                mult_depth: int = 1, ring_dim: int | None = None) -> CkksParams:
+                mult_depth: int = 1, ring_dim: int | None = None,
+                num_special: int = 1) -> CkksParams:
     """Mirror of genCryptoContextCKKS(multDepth, scaleFactorBits, batchSize)
-    (reference ckks.cpp:26-28) for the uint32-limb TPU backend."""
+    (reference ckks.cpp:26-28) for the uint32-limb TPU backend.
+
+    num_special: trailing primes reserved for hybrid key-switching
+    (relinearization / rotations). They never appear in ciphertexts."""
     num_base = max(2, math.ceil((scale_bits + _HEADROOM_BITS) / 31))
-    log_q = 31 * (num_base + mult_depth)
+    total = num_base + mult_depth + num_special
+    log_q = 31 * total
     n_sec = primes_mod.min_ring_dim_128(log_q)
     n = max(2 * batch, n_sec)
     if ring_dim is not None:
         assert ring_dim >= 2 * batch
         n = ring_dim
-    moduli = primes_mod.ntt_primes(n, num_base + mult_depth)
+    moduli = primes_mod.ntt_primes(n, total)
     return CkksParams(
         ring_dim=n, batch=batch, scale_bits=scale_bits,
-        mult_depth=mult_depth, moduli=moduli, num_base=num_base)
+        mult_depth=mult_depth, moduli=moduli, num_base=num_base,
+        num_special=num_special)
 
 
 @jax.tree_util.register_dataclass
@@ -177,11 +194,12 @@ def make_context(params: CkksParams) -> CkksContext:
     for j in range(ENCODE_DIGITS):
         for l, q in enumerate(moduli):
             enc_pow[j, l] = pow(2, DIGIT_BITS * j, q)
+    chain = params.chain_len
     dec_consts = tuple(_make_decode_consts(moduli, live)
-                       for live in range(1, L + 1))
+                       for live in range(1, chain + 1))
     rescale = []
     for level in range(params.mult_depth):
-        t = L - 1 - level              # index of limb being dropped
+        t = chain - 1 - level          # index of limb being dropped
         qt = moduli[t]
         inv = np.array([pow(qt % q, q - 2, q) for q in moduli[:t]],
                        dtype=np.uint32)

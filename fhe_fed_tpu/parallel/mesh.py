@@ -92,30 +92,31 @@ def full_fed_step(ctx: CkksContext, mesh: Mesh):
     import jax.random as jrandom
 
     scale = float(ctx.params.scale)
-    L = ctx.num_limbs
+    L = ctx.params.chain_len
 
     def encrypt_one(pk, values, key):
         n = values.shape[-1]
         chunks = values.shape[0]
-        q = ctx.q
+        q = ctx.q[:L]
         qb = q[:, None]
+        tb = ctx.tables.slice_limbs(0, L)
         pt = encoding.encode_coeff(ctx, values, scale)
-        m_hat = ntt_mod.ntt(pt, ctx.tables)
+        m_hat = ntt_mod.ntt(pt, tb)
         k_u, k_e0, k_e1 = jrandom.split(key, 3)
         u_hat = ntt_mod.ntt(
-            lift_signed(ternary_coeffs(k_u, (chunks, n)), q), ctx.tables)
+            lift_signed(ternary_coeffs(k_u, (chunks, n)), q), tb)
         e_hat = ntt_mod.ntt(
             lift_signed(
                 jnp.stack([cbd_coeffs(k_e0, (chunks, n)),
                            cbd_coeffs(k_e1, (chunks, n))], axis=1), q),
-            ctx.tables)
+            tb)
         c0 = modops.add_mod(
             modops.add_mod(
-                modops.mul_mod_shoup(u_hat, pk.p0, pk.p0_shoup, qb),
+                modops.mul_mod_shoup(u_hat, pk.p0[:L], pk.p0_shoup[:L], qb),
                 e_hat[:, 0], qb),
             m_hat, qb)
         c1 = modops.add_mod(
-            modops.mul_mod_shoup(u_hat, pk.p1, pk.p1_shoup, qb),
+            modops.mul_mod_shoup(u_hat, pk.p1[:L], pk.p1_shoup[:L], qb),
             e_hat[:, 1], qb)
         return jnp.stack([c0, c1], axis=1)
 
@@ -131,12 +132,12 @@ def full_fed_step(ctx: CkksContext, mesh: Mesh):
     def step(pk, values, rng_keys, w_res, w_shoup, sk):
         stacked = jax.vmap(lambda v, k: encrypt_one(pk, v, k))(
             values, rng_keys)                      # (K, C, 2, L, N)
-        qb = ctx.q[:, None]
+        qb = ctx.q[:L, None]
         terms = modops.mul_mod_shoup(
             stacked, w_res[:, None, None, :, None],
             w_shoup[:, None, None, :, None], qb)
-        agg = ckks_ops.modsum_clients(terms, qb, ctx.pow32[:, None],
-                                      ctx.pow32_shoup[:, None])
+        agg = ckks_ops.modsum_clients(terms, qb, ctx.pow32[:L, None],
+                                      ctx.pow32_shoup[:L, None])
         agg = ckks_ops._rescale_impl(ctx, agg)     # (C, 2, L-1, N)
         live = L - 1
         qb2 = ctx.q[:live, None]

@@ -44,11 +44,12 @@ def test_sharded_weighted_sum_matches_local(setup):
 
     # Sharded: mesh (clients=2, chunks=4).
     mesh = M.make_fed_mesh(2, 4)
-    ds = float(ctx.params.moduli[ctx.num_limbs - 1])
+    live = ctx.params.chain_len
+    ds = float(ctx.params.moduli[live - 1])
     import numpy as _np
     res_l, shoup_l = [], []
     for w in weights:
-        r, s = E.encode_scalar(ctx.params.moduli, w, ds)
+        r, s = E.encode_scalar(ctx.params.moduli[:live], w, ds)
         res_l.append(r)
         shoup_l.append(s)
     stacked = jnp.stack([c.data for c in cts])
