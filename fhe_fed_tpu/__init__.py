@@ -10,15 +10,16 @@ from .fed.api import CKKS
 from .fed.scheme import Scheme, get_scheme, register_scheme
 from .fed.fedavg import (fhe_fedavg, plain_fedavg, flatten_params,
                          unflatten_params, SelectivePolicy)
+from .fed.masking import Masking
 from .ckks.params import make_params, make_context, CkksParams, CkksContext
-from .ckks import keys, ops, serial, encoding
+from .ckks import keys, ops, serial, encoding, keyswitch, slots
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "CKKS", "Scheme", "get_scheme", "register_scheme",
+    "CKKS", "Masking", "Scheme", "get_scheme", "register_scheme",
     "fhe_fedavg", "plain_fedavg", "flatten_params", "unflatten_params",
     "SelectivePolicy",
     "make_params", "make_context", "CkksParams", "CkksContext",
-    "keys", "ops", "serial", "encoding",
+    "keys", "ops", "serial", "encoding", "keyswitch", "slots",
 ]
