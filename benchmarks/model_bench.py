@@ -1,0 +1,99 @@
+"""Per-model secure-aggregation benchmark over the zoo ladder
+(reference benchmark.py:418-567 / benchmark_nvidia.py:401-504).
+
+For each model: Init / Encryption / Secure Agg / Decryption wall-clock
+(device-complete), ciphertext bytes, plaintext bytes, expansion ratios.
+Writes results/model_results.txt in the reference's nvidia_results.txt
+format plus results/model_bench.jsonl.
+
+Usage:
+  python -m benchmarks.model_bench                 # ladder up to CNN
+  python -m benchmarks.model_bench --models bert   # any zoo subset
+  python -m benchmarks.model_bench --clients 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+
+from fhe_fed_tpu import CKKS, flatten_params
+from fhe_fed_tpu import models
+from .common import PhaseTimer, append_jsonl, results_dir
+
+DEFAULT_MODELS = ["linear", "tst", "mlp", "rnn_lstm", "cnn_fedavg"]
+
+
+def bench_model(name: str, n_clients: int, helper: CKKS,
+                seed: int = 0) -> dict:
+    spec = models.build(name, seed=seed)
+    flat, _ = flatten_params(spec.params)
+    n = flat.size
+    rng = np.random.default_rng(seed)
+    clients = [flat + rng.standard_normal(n).astype(np.float32) * 0.01
+               for _ in range(n_clients)]
+    weights = [1.0 / n_clients] * n_clients
+
+    t = PhaseTimer()
+    with t.phase("encrypt"):
+        blobs = [helper.encrypt(c) for c in clients]
+    ct_bytes = sum(len(b) for b in blobs)
+    with t.phase("aggregate"):
+        agg = helper.computeWeightedAverage(blobs, weights)
+    with t.phase("decrypt"):
+        out = helper.decrypt(agg, n).astype(np.float32)
+    err = float(np.max(np.abs(out - np.mean(np.stack(clients), axis=0))))
+
+    plain_bytes = n * 4 * n_clients
+    return {"model": name, "params": n, "clients": n_clients,
+            "phases": dict(t.phases), "total": t.total,
+            "ct_bytes": ct_bytes, "plain_bytes": plain_bytes,
+            "comm_expansion": ct_bytes / plain_bytes, "max_err": err,
+            "backend": jax.default_backend()}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="*", default=DEFAULT_MODELS)
+    ap.add_argument("--clients", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--bits", type=int, default=52)
+    args = ap.parse_args(argv)
+
+    keydir = os.path.join(results_dir(), "bench_keys")
+    os.makedirs(keydir, exist_ok=True)
+    t0 = time.time()
+    helper = CKKS("ckks", args.batch, args.bits, cryptodir=keydir)
+    helper.genCryptoContextAndKeyGen()
+    helper.loadCryptoParams()
+    init_s = time.time() - t0
+
+    txt_path = os.path.join(results_dir(), "model_results.txt")
+    results = []
+    with open(txt_path, "w") as f:
+        for i, name in enumerate(args.models):
+            r = bench_model(name, args.clients, helper)
+            r["init"] = init_s
+            results.append(r)
+            append_jsonl("model_bench.jsonl", r)
+            f.write(f"Model #{i} ({name}, {r['params']} params)\n")
+            f.write(f"Init Time: {init_s}\n")
+            f.write(f"Encryption Time: {r['phases']['encrypt']}\n")
+            f.write(f"Secure Agg Time: {r['phases']['aggregate']}\n")
+            f.write(f"Decryption Time: {r['phases']['decrypt']}\n")
+            f.write(f" Total time: {init_s + r['total']}\n")
+            print(f"{name:12s} {r['params']:>11,} params: "
+                  f"enc {r['phases']['encrypt']:.3f}s "
+                  f"agg {r['phases']['aggregate']:.3f}s "
+                  f"dec {r['phases']['decrypt']:.3f}s "
+                  f"comm x{r['comm_expansion']:.1f} err {r['max_err']:.1e}")
+    print("wrote", txt_path)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Crypto-parameter sweep (reference benchmark_crypto.py:116-265).
+
+Grid {batch} x {scale bits} -> per-phase time, ciphertext bytes, and an
+accuracy-delta check on the CNN_OriginalFedAvg model; writes
+results/params_results.csv with the reference's exact columns
+('Batch Size', 'Scaling Factor Bits', 'Computation', 'Communication',
+'Acc Delta').
+
+Acc Delta: the reference retests FashionMNIST accuracy after FHE vs
+plain aggregation (benchmark_crypto.py:246-250). This environment has no
+dataset access, so the delta is measured as disagreement of argmax
+predictions between the plain- and FHE-aggregated CNN on 1,000 random
+MNIST-shaped inputs — the same "does encryption change the model's
+decisions" question, dataset-free. At >=33 scale bits both deltas are
+exactly 0.0 (reference params_results.csv rows).
+
+Usage: python -m benchmarks.param_sweep [--small] [--model cnn_fedavg]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import pickle
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fhe_fed_tpu import CKKS, flatten_params, unflatten_params
+from fhe_fed_tpu import models
+from .common import PhaseTimer, results_dir
+
+N_CLIENTS = 3
+
+
+def run_config(batch_size: int, scaling_bits: int, model_name: str,
+               workdir: str, n_eval: int = 1000) -> dict:
+    spec = models.build(model_name)
+    rng = np.random.default_rng(0)
+    clients = []
+    for i in range(N_CLIENTS):
+        clients.append(jax.tree_util.tree_map(
+            lambda x: x + jnp.asarray(
+                rng.standard_normal(x.shape).astype(np.float32)) * 0.05,
+            spec.params))
+    weights = [1.0 / N_CLIENTS] * N_CLIENTS
+
+    flat_clients = [flatten_params(c) for c in clients]
+    spec_tree = flat_clients[0][1]
+    flats = [f for f, _ in flat_clients]
+
+    t = PhaseTimer()
+    with t.phase("init"):
+        helper = CKKS("ckks", batch_size, scaling_bits, cryptodir=workdir)
+        helper.genCryptoContextAndKeyGen()
+        helper.loadCryptoParams()
+    with t.phase("encrypt"):
+        blobs = [helper.encrypt(f) for f in flats]
+    ct_bytes = sum(len(b) for b in blobs)
+    with t.phase("aggregate"):
+        agg = helper.computeWeightedAverage(blobs, weights)
+    with t.phase("decrypt"):
+        out = helper.decrypt(agg, flats[0].size).astype(np.float32)
+
+    plain = np.mean(np.stack(flats), axis=0)
+    max_err = float(np.max(np.abs(out - plain)))
+
+    # accuracy-delta proxy: argmax disagreement on random inputs
+    fhe_params = unflatten_params(out, spec_tree)
+    plain_params = unflatten_params(plain, spec_tree)
+    x = jnp.asarray(rng.random((n_eval, 28, 28), dtype=np.float32))
+    pred_fhe = np.asarray(jnp.argmax(spec.apply(fhe_params, x), axis=-1))
+    pred_plain = np.asarray(jnp.argmax(spec.apply(plain_params, x),
+                                       axis=-1))
+    acc_delta = float(np.mean(pred_fhe != pred_plain))
+
+    return {"batch": batch_size, "scale_bits": scaling_bits,
+            "computation": t.total - t.phases["init"],
+            "phases": dict(t.phases), "communication": ct_bytes,
+            "acc_delta": acc_delta, "max_err": max_err}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="reduced grid + small model (CI/CPU)")
+    ap.add_argument("--model", default="cnn_fedavg")
+    args = ap.parse_args(argv)
+
+    if args.small:
+        batch_list, bits_list = [1024], [20, 40]
+        model = "mlp"
+    else:
+        batch_list = [1024, 2048, 4096]
+        bits_list = [14, 20, 33, 40, 52]
+        model = args.model
+
+    rows = []
+    out_csv = os.path.join(results_dir(), "params_results.csv")
+    for b in batch_list:
+        for s in bits_list:
+            wd = os.path.join(results_dir(), f"keys_{b}_{s}")
+            os.makedirs(wd, exist_ok=True)
+            r = run_config(b, s, model, wd)
+            rows.append(r)
+            print(f"batch={b} bits={s}: comp={r['computation']:.3f}s "
+                  f"comm={r['communication']}B acc_delta={r['acc_delta']} "
+                  f"max_err={r['max_err']:.2e}")
+    with open(out_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Batch Size", "Scaling Factor Bits", "Computation",
+                    "Communication", "Acc Delta"])
+        for r in rows:
+            w.writerow([r["batch"], r["scale_bits"], r["computation"],
+                        r["communication"], r["acc_delta"]])
+    print("wrote", out_csv)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""Threshold (N-of-N multiparty) CKKS.
+
+Reference parity: the mkhe experiment (code/mkhe/mkhe.cpp:188-465) —
+chained MultipartyKeyGen (mkhe.cpp:281-304), joint eval-sum keys
+(305-317), encrypt under the joint key (348-349), scalar EvalMult /
+EvalAdd on the joint ciphertext (363-368), and per-party
+MultipartyDecryptLead/Main + MultipartyDecryptFusion (392-402).
+
+Scheme: the joint secret is additive, s = sum_i s_i, with a COMMON
+uniform polynomial `a` across the chain, so the joint public key is
+
+    pk = (b, a),   b = -a * s + sum_i e_i = sum_i (-a * s_i + e_i).
+
+Party i extends the chain with one Shoup multiply: b_i = b_{i-1}
+- a*s_i + e_i (extend_public_key). Decryption is one round: the lead
+party publishes c0 + s_0*c1 + e_sm, every other party publishes
+s_i*c1 + e_sm, and fusion is a plain modular sum — on a TPU mesh the
+party axis sums with a psum, like the client axis of FedAvg.
+
+`e_sm` is smudging/flooding noise, deliberately much wider than the
+encryption noise so a partial decryption leaks nothing about s_i beyond
+the plaintext (standard threshold-FHE practice; the reference relies on
+PALISADE's internal flooding).
+
+Joint Galois/eval-sum keys (mkhe.cpp:305-317): each party derives the
+common `a_j` rows from a shared public seed and publishes its additive
+share of every row; summing shares yields the joint key
+(combine_switch_key_shares). Joint relinearization (ct x ct under the
+joint key) needs a second interactive round (s_i * s) and is not needed
+by the reference's scalar-multiply circuit; not implemented.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..rns import modops
+from ..ntt import ntt as ntt_mod
+from .params import CkksContext
+from .keys import (SecretKey, PublicKey, uniform_mod_q, ternary_coeffs,
+                   cbd_coeffs, lift_signed, _shoup_host)
+from . import ops as ckks_ops
+from . import keyswitch as ks_mod
+
+_U32 = jnp.uint32
+
+# Smudging noise: centered binomial of variance 2**_SMUDGE_BITS/2 per
+# coefficient (~2**20 >> encryption noise sigma~3.2).
+_SMUDGE_BITS = 40
+
+
+def party_secret(ctx: CkksContext, seed: int) -> SecretKey:
+    """One party's additive share s_i (ternary, full limb set)."""
+    k_s = jax.random.key(seed)
+    s_hat = ntt_mod.ntt_jit(
+        lift_signed(ternary_coeffs(k_s, (ctx.ring_dim,)), ctx.q),
+        ctx.tables)
+    return SecretKey(s=s_hat, s_shoup=_shoup_host(s_hat, np.asarray(ctx.q)))
+
+
+def init_public_key(ctx: CkksContext, sk: SecretKey, rng_key) -> PublicKey:
+    """Party 0: pk_0 = (-a*s_0 + e_0, a) (mkhe.cpp:268 KeyGen)."""
+    L, n = ctx.num_limbs, ctx.ring_dim
+    k_a, k_e = jax.random.split(rng_key)
+    a = uniform_mod_q(k_a, (L, n), ctx)
+    return _extend(ctx, a, None, sk, k_e)
+
+
+def extend_public_key(ctx: CkksContext, pk_prev: PublicKey, sk: SecretKey,
+                      rng_key) -> PublicKey:
+    """Party i: pk_i = (b_{i-1} - a*s_i + e_i, a) (MultipartyKeyGen,
+    mkhe.cpp:281-304 chain)."""
+    return _extend(ctx, pk_prev.p1, pk_prev.p0, sk, rng_key)
+
+
+def _extend(ctx, a, b_prev, sk, k_e):
+    qb = ctx.q[:, None]
+    e_hat = ntt_mod.ntt_jit(
+        lift_signed(cbd_coeffs(k_e, (ctx.ring_dim,)), ctx.q), ctx.tables)
+    a_s = modops.mul_mod(a, sk.s, qb, ctx.mu[:, None])
+    b = modops.add_mod(modops.neg_mod(a_s, qb), e_hat, qb)
+    if b_prev is not None:
+        b = modops.add_mod(b, b_prev, qb)
+    q_np = np.asarray(ctx.q)
+    return PublicKey(p0=b, p0_shoup=_shoup_host(b, q_np),
+                     p1=a, p1_shoup=_shoup_host(a, q_np))
+
+
+def multiparty_keygen(ctx: CkksContext, n_parties: int, seed: int = 0
+                      ) -> tuple[list[SecretKey], PublicKey]:
+    """Full ceremony: returns per-party shares and the joint public key."""
+    sks = [party_secret(ctx, seed * 1000 + i) for i in range(n_parties)]
+    pk = init_public_key(ctx, sks[0], jax.random.key(seed * 7 + 1))
+    for i in range(1, n_parties):
+        pk = extend_public_key(ctx, pk, sks[i],
+                               jax.random.key(seed * 7 + 1 + i))
+    return sks, pk
+
+
+# ---------------------------------------------------------------------------
+# Threshold decryption
+# ---------------------------------------------------------------------------
+
+def _smudge(ctx, rng_key, shape_chunks, live):
+    """Wide flooding noise in the eval domain: (chunks, live, N)."""
+    n = ctx.ring_dim
+    k1, k2 = jax.random.split(rng_key)
+    # sum of scaled CBDs approximates a wide discrete gaussian;
+    # |e| <= ~21 * 2**20 < 2**31, fits int32
+    e = (cbd_coeffs(k1, (shape_chunks, n))
+         * jnp.int32(1 << (_SMUDGE_BITS // 2))
+         + cbd_coeffs(k2, (shape_chunks, n)))
+    qi = ctx.q[:live].astype(jnp.int32)[:, None]
+    r = e[..., None, :] % qi
+    coeffs = r.astype(_U32)
+    return ntt_mod.ntt(coeffs, ctx.tables.slice_limbs(0, live))
+
+
+def partial_decrypt_lead(ctx: CkksContext, sk: SecretKey,
+                         ct: ckks_ops.Ciphertext, rng_key) -> jnp.ndarray:
+    """Lead party share: c0 + s_0*c1 + e_sm (MultipartyDecryptLead)."""
+    live = ct.live_limbs
+    qb = ctx.q[:live, None]
+    t = modops.mul_mod_shoup(ct.data[:, 1], sk.s[:live], sk.s_shoup[:live],
+                             qb)
+    t = modops.add_mod(ct.data[:, 0], t, qb)
+    e = _smudge(ctx, rng_key, ct.data.shape[0], live)
+    return modops.add_mod(t, e, qb)
+
+
+def partial_decrypt_main(ctx: CkksContext, sk: SecretKey,
+                         ct: ckks_ops.Ciphertext, rng_key) -> jnp.ndarray:
+    """Non-lead party share: s_i*c1 + e_sm (MultipartyDecryptMain)."""
+    live = ct.live_limbs
+    qb = ctx.q[:live, None]
+    t = modops.mul_mod_shoup(ct.data[:, 1], sk.s[:live], sk.s_shoup[:live],
+                             qb)
+    e = _smudge(ctx, rng_key, ct.data.shape[0], live)
+    return modops.add_mod(t, e, qb)
+
+
+def fuse_decrypt(ctx: CkksContext, partials: list[jnp.ndarray],
+                 scale: float) -> jnp.ndarray:
+    """MultipartyDecryptFusion (mkhe.cpp:402): sum shares, decode.
+    The party-axis sum is psum-shardable on a mesh."""
+    live = partials[0].shape[-2]
+    qb = ctx.q[:live, None]
+    acc = partials[0]
+    for p in partials[1:]:
+        acc = modops.add_mod(acc, p, qb)
+    coeffs = ntt_mod.intt(acc, ctx.tables.slice_limbs(0, live))
+    from . import encoding
+    return encoding.decode_coeff(ctx, coeffs, scale)
+
+
+# ---------------------------------------------------------------------------
+# Joint Galois / eval-sum keys (single-round additive ceremony)
+# ---------------------------------------------------------------------------
+
+def partial_galois_key(ctx: CkksContext, sk: SecretKey, g: int,
+                       common_seed: int, rng_key) -> ks_mod.KSwitchKey:
+    """Party share of the joint rotation key for element g: rows use the
+    COMMON a_j (from common_seed); payload carries P*sigma_g(s_i)
+    (MultiEvalSumKeyGen semantics, mkhe.cpp:305-317).
+
+    NB: switching FROM sigma_g(s) TO s requires ks0 + ks1*s =
+    d*sigma_g(s); the additive share construction yields keys valid for
+    the JOINT s because both the payload and the -a*s_i terms sum."""
+    n = ctx.ring_dim
+    L = ctx.num_limbs
+    chain = ctx.params.chain_len
+    q = ctx.q
+    qb = q[:, None]
+    p_mod, p_mod_shoup, _, _ = ks_mod._ks_consts(ctx.params)
+
+    a = uniform_mod_q(jax.random.key(common_seed), (chain, L, n), ctx)
+    k_e = rng_key
+    e_hat = ntt_mod.ntt_jit(
+        lift_signed(cbd_coeffs(k_e, (chain, n)), q), ctx.tables)
+
+    a_s = modops.mul_mod_shoup(a, sk.s[None], sk.s_shoup[None], qb)
+    b = modops.add_mod(modops.neg_mod(a_s, qb), e_hat, qb)
+    s_g = ks_mod.automorphism(sk.s, n, g)
+    pt = modops.mul_mod_shoup(
+        s_g[:chain], jnp.asarray(p_mod)[:, None],
+        jnp.asarray(p_mod_shoup)[:, None], qb[:chain])
+    eye = jnp.eye(chain, L, dtype=_U32)[:, :, None]
+    b = modops.add_mod(b, pt[:, None, :] * eye, qb)
+    # shares carry no Shoup tables; computed after combining
+    return ks_mod.KSwitchKey(b=b, b_shoup=None, a=a, a_shoup=None)
+
+
+def combine_switch_key_shares(ctx: CkksContext,
+                              shares: list[ks_mod.KSwitchKey]
+                              ) -> ks_mod.KSwitchKey:
+    """Sum party shares of b (common a) -> joint key (MultiAddEvalKeys)."""
+    qb = ctx.q[:, None]
+    b = shares[0].b
+    for sh in shares[1:]:
+        b = modops.add_mod(b, sh.b, qb)
+    a = shares[0].a
+    q_np = np.asarray(ctx.q)[None, :, None]
+    return ks_mod.KSwitchKey(
+        b=b, b_shoup=jnp.asarray(modops.shoup_precompute(np.asarray(b),
+                                                         q_np)),
+        a=a, a_shoup=jnp.asarray(modops.shoup_precompute(np.asarray(a),
+                                                         q_np)))

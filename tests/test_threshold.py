@@ -1,0 +1,124 @@
+"""Threshold CKKS: chained multiparty keygen, joint encryption, partial
+decrypt + fusion, and a joint rotation key — mirrors the mk-test flow
+(reference code/mkhe/mkhe.cpp:188-465)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fhe_fed_tpu.ckks import params as P
+from fhe_fed_tpu.ckks import keys as K
+from fhe_fed_tpu.ckks import ops as O
+from fhe_fed_tpu.ckks import keyswitch as KS
+from fhe_fed_tpu.ckks import threshold as T
+from fhe_fed_tpu.rns import modops
+
+N = 256
+PARTIES = 3
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = P.make_params(batch=128, scale_bits=40, mult_depth=1, ring_dim=N)
+    ctx = P.make_context(p)
+    sks, pk = T.multiparty_keygen(ctx, PARTIES, seed=3)
+    return ctx, sks, pk
+
+
+def _joint_secret(ctx, sks):
+    qb = ctx.q[:, None]
+    s = sks[0].s
+    for sk in sks[1:]:
+        s = modops.add_mod(s, sk.s, qb)
+    return K.SecretKey(s=s, s_shoup=K._shoup_host(s, np.asarray(ctx.q)))
+
+
+def test_joint_pk_matches_joint_secret(setup):
+    """pk chain == classical pk of the summed secret (mod noise)."""
+    ctx, sks, pk = setup
+    joint = _joint_secret(ctx, sks)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((1, N)).astype(np.float32)
+    ct = O.encrypt(ctx, pk, jnp.asarray(v), jax.random.key(1))
+    got = np.asarray(O.decrypt(ctx, joint, ct))
+    np.testing.assert_allclose(got, v, atol=1e-3)
+
+
+def test_partial_decrypt_fusion(setup):
+    ctx, sks, pk = setup
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((2, N)).astype(np.float32)
+    ct = O.encrypt(ctx, pk, jnp.asarray(v), jax.random.key(2))
+
+    parts = [T.partial_decrypt_lead(ctx, sks[0], ct, jax.random.key(10))]
+    for i, sk in enumerate(sks[1:]):
+        parts.append(T.partial_decrypt_main(ctx, sk, ct,
+                                            jax.random.key(11 + i)))
+    got = np.asarray(T.fuse_decrypt(ctx, parts, ct.scale))
+    np.testing.assert_allclose(got, v, atol=2e-3)
+
+
+def test_threshold_fedavg_circuit(setup):
+    """The mkhe homomorphic circuit: EvalMult(ct, w) + EvalAdd under the
+    joint key, then threshold decryption (mkhe.cpp:363-368, 392-402)."""
+    ctx, sks, pk = setup
+    rng = np.random.default_rng(2)
+    vs = [rng.standard_normal((1, N)).astype(np.float32) for _ in range(3)]
+    ws = [0.5, 0.2, 0.3]
+    cts = [O.encrypt(ctx, pk, jnp.asarray(v), jax.random.key(20 + i))
+           for i, v in enumerate(vs)]
+    agg = O.weighted_sum(ctx, cts, ws)
+
+    parts = [T.partial_decrypt_lead(ctx, sks[0], agg, jax.random.key(30))]
+    for i, sk in enumerate(sks[1:]):
+        parts.append(T.partial_decrypt_main(ctx, sk, agg,
+                                            jax.random.key(31 + i)))
+    got = np.asarray(T.fuse_decrypt(ctx, parts, agg.scale))
+    want = sum(w * v for w, v in zip(ws, vs))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_joint_rotation_key(setup):
+    """Additive galois-key shares combine into a key valid for the joint
+    secret (MultiEvalSumKeyGen / MultiAddEvalKeys parity)."""
+    ctx, sks, pk = setup
+    g = KS.galois_element(1, N)
+    shares = [T.partial_galois_key(ctx, sk, g, common_seed=77,
+                                   rng_key=jax.random.key(40 + i))
+              for i, sk in enumerate(sks)]
+    gk = T.combine_switch_key_shares(ctx, shares)
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((1, N)).astype(np.float32)
+    ct = O.encrypt(ctx, pk, jnp.asarray(v), jax.random.key(50))
+    rot = KS.rotate(ctx, ct, 1, gk)
+
+    joint = _joint_secret(ctx, sks)
+    got = np.asarray(O.decrypt(ctx, joint, rot))
+
+    def auto_coeff(vv, g):
+        n = len(vv)
+        out = np.zeros_like(vv, dtype=np.float64)
+        for k in range(n):
+            e = k * g % (2 * n)
+            if e < n:
+                out[e] += vv[k]
+            else:
+                out[e - n] -= vv[k]
+        return out
+
+    want = auto_coeff(v[0].astype(np.float64), g)
+    np.testing.assert_allclose(got[0], want, atol=5e-3)
+
+
+def test_smudging_hides_partial(setup):
+    """A single partial decryption does not reveal the plaintext."""
+    ctx, sks, pk = setup
+    v = np.zeros((1, N), dtype=np.float32)
+    ct = O.encrypt(ctx, pk, jnp.asarray(v), jax.random.key(60))
+    part = T.partial_decrypt_lead(ctx, sks[0], ct, jax.random.key(61))
+    # decoding the single share must NOT give ~zeros (it misses the other
+    # parties' secrets and carries wide smudging noise)
+    got = np.asarray(T.fuse_decrypt(ctx, [part], ct.scale))
+    assert np.abs(got).max() > 1.0
