@@ -1,0 +1,88 @@
+"""DLG attack sweep over protected-layer sets — reference exp1.py
+semantics (attack/exp1.py:462-473: protect-one / protect-all-but-one
+sweeps, similarity scoring of each reconstruction).
+
+For each protection set: run the attack on a LeNet/CIFAR-shaped input,
+score the recovered image against ground truth (MSSIM/UQI/VIFp), and
+report whether protecting those layers defeats the inversion — the
+evidence behind selective encryption.
+
+Usage: python -m benchmarks.attack_eval [--steps 400] [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fhe_fed_tpu import attack, models
+from fhe_fed_tpu.models import layers as ML
+from .common import append_jsonl
+
+
+def _small_net(seed=0):
+    k = jax.random.split(jax.random.key(seed), 3)
+    params = {"conv": ML.conv_init(k[0], 3, 3, 1, 4),
+              "fc": ML.dense_init(k[1], 4 * 16 * 16, 10)}
+
+    def apply(p, x):
+        h = jax.nn.sigmoid(ML.conv2d(p["conv"], x, stride=1))
+        return ML.dense(p["fc"], h.reshape(h.shape[0], -1))
+    return params, apply
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args(argv)
+
+    rng = np.random.default_rng(0)
+    if args.small:
+        params, apply = _small_net()
+        x = jnp.asarray(rng.random((1, 16, 16, 1), dtype=np.float32))
+        n_cls = 10
+    else:
+        spec = models.build("lenet")
+        params, apply = spec.params, spec.apply
+        x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+        n_cls = 100
+
+    onehot = jax.nn.one_hot(jnp.asarray([3]), n_cls)
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+
+    # exp1-style sweep: no protection, protect layer pairs (w+b), all.
+    sweeps = [("none", ())]
+    for li in range(n_leaves // 2):
+        sweeps.append((f"protect_layer{li}", (2 * li, 2 * li + 1)))
+    sweeps.append(("protect_all", tuple(range(n_leaves))))
+
+    results = []
+    for name, protected in sweeps:
+        grads = attack.model_gradients(apply, params, x, onehot,
+                                       protected_layers=protected)
+        res = attack.dlg_attack(apply, params, grads, x.shape, n_cls,
+                                protected_layers=protected,
+                                steps=args.steps, lr=0.05, seed=1)
+        gt = np.asarray(x)[0, ..., 0] if x.shape[-1] == 1 \
+            else np.asarray(x)[0]
+        rec = res.data[0, ..., 0] if x.shape[-1] == 1 else res.data[0]
+        r = {"protection": name,
+             "mssim": attack.mssim(gt, rec),
+             "uqi": attack.uqi(gt, rec),
+             "vifp": attack.vifp(gt, rec),
+             "corr": float(np.corrcoef(gt.reshape(-1),
+                                       rec.reshape(-1))[0, 1]),
+             "final_loss": float(res.losses[-1])}
+        results.append(r)
+        append_jsonl("attack_eval.jsonl", r)
+        print(f"{name:20s} mssim={r['mssim']:+.3f} uqi={r['uqi']:+.3f} "
+              f"vifp={r['vifp']:+.3f} corr={r['corr']:+.3f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

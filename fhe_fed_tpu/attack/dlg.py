@@ -1,0 +1,108 @@
+"""DLG gradient-inversion attack (Deep Leakage from Gradients), pure JAX.
+
+Reference parity: code/attack/code.py:446-543 and exp1.py — reconstruct a
+client's training input from its shared gradients by optimizing dummy
+(data, label) so the dummy gradients match; layers listed in
+`protected_layers` have their gradients zeroed on BOTH sides
+(code.py:466-477), modeling selective encryption of those layers. The
+attack's success/failure under partial protection is what justifies the
+framework's selective-encryption mode (SURVEY.md C20/C23).
+
+TPU-native: the whole attack step — forward, backward, gradient-matching
+loss, and its second-order gradient — is one jitted function; the
+optimizer is optax (adam by default; the reference's LBFGS converges
+faster per step but each step is many closures — adam wins on TPU
+wall-clock).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cross_entropy_onehot(logits: jnp.ndarray,
+                         onehot: jnp.ndarray) -> jnp.ndarray:
+    """mean(sum(-onehot * log_softmax(logits))) (code.py cross_entropy)."""
+    return jnp.mean(jnp.sum(-onehot * jax.nn.log_softmax(logits, -1), -1))
+
+
+def _zero_protected(grads_flat: list, protected: Sequence[int]):
+    return [jnp.zeros_like(g) if i in set(protected) else g
+            for i, g in enumerate(grads_flat)]
+
+
+def model_gradients(apply: Callable, params, x: jnp.ndarray,
+                    onehot: jnp.ndarray,
+                    protected_layers: Sequence[int] = ()) -> list:
+    """The client's shared gradient, with protected layers zeroed
+    (code.py:466-477). Returns a flat list of leaf gradients."""
+    def loss_fn(p):
+        return cross_entropy_onehot(apply(p, x), onehot)
+    grads = jax.grad(loss_fn)(params)
+    leaves, _ = jax.tree_util.tree_flatten(grads)
+    return _zero_protected(leaves, protected_layers)
+
+
+@dataclasses.dataclass
+class DLGResult:
+    data: np.ndarray          # recovered input
+    label: np.ndarray         # recovered label distribution
+    losses: np.ndarray        # grad-matching loss per recorded step
+    history: list             # snapshots of the recovered input
+
+
+def dlg_attack(apply: Callable, params, target_grads: list,
+               data_shape, n_classes: int,
+               protected_layers: Sequence[int] = (),
+               steps: int = 300, lr: float = 0.1, seed: int = 0,
+               record_every: int = 50) -> DLGResult:
+    """Run the attack: optimize (dummy_data, dummy_label) so that
+    grad(model; dummy) matches `target_grads` (code.py:482-531)."""
+    treedef = jax.tree_util.tree_structure(params)
+    protected = tuple(protected_layers)
+
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+    dummy = {
+        "data": jax.random.normal(k1, data_shape, jnp.float32),
+        "label": jax.random.normal(k2, (data_shape[0], n_classes),
+                                   jnp.float32),
+    }
+
+    target = [jnp.asarray(g) for g in target_grads]
+
+    def match_loss(d):
+        onehot = jax.nn.softmax(d["label"], axis=-1)
+
+        def loss_fn(p):
+            return cross_entropy_onehot(apply(p, d["data"]), onehot)
+        grads = jax.grad(loss_fn)(params)
+        leaves, _ = jax.tree_util.tree_flatten(grads)
+        leaves = _zero_protected(leaves, protected)
+        return sum(jnp.sum((gx - gy) ** 2)
+                   for gx, gy in zip(leaves, target))
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(dummy)
+
+    @jax.jit
+    def step(d, s):
+        loss, g = jax.value_and_grad(match_loss)(d)
+        updates, s = opt.update(g, s, d)
+        return optax.apply_updates(d, updates), s, loss
+
+    losses, history = [], []
+    for i in range(steps):
+        dummy, opt_state, loss = step(dummy, opt_state)
+        if i % record_every == 0 or i == steps - 1:
+            losses.append(float(loss))
+            history.append(np.asarray(dummy["data"]))
+    return DLGResult(data=np.asarray(dummy["data"]),
+                     label=np.asarray(jax.nn.softmax(dummy["label"], -1)),
+                     losses=np.asarray(losses), history=history)
