@@ -20,14 +20,30 @@ PALISADE backend (SURVEY.md C11, ckks.cpp:70) with whole-batch vectorization.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..rns.modops import add_mod, sub_mod, mul_mod_shoup
+from . import pallas_ntt
 from .tables import NttTables
 
 _LANE = 128
 _MAX_B_SPAN = 64  # butterfly spans <= this run in transposed layout
+
+
+def _use_fused(tb: NttTables) -> bool:
+    """Opt-in (FHE_FED_TPU_PALLAS=1) fused Pallas kernels on TPU.
+
+    Off by default: measured on v5e, XLA's per-stage pipeline beats the fused
+    kernels (fwd 2.4 ms vs 3.8 ms, inv 0.8 ms vs 15.8 ms on a (407, 4, 8192)
+    batch) — the transform is VPU-bound, XLA already overlaps HBM traffic
+    well, and the in-VMEM transposes Mosaic emits are costly. Kept as an
+    alternative backend + for future MXU-based variants."""
+    if tb.stages is None or not os.environ.get("FHE_FED_TPU_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _fwd_stage(x, tab, tab_shoup, q, m, t):
@@ -67,6 +83,8 @@ def ntt(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
     n = tb.ring_dim
     L = tb.q.shape[0]
     assert x.shape[-1] == n and x.shape[-2] == L, (x.shape, L, n)
+    if _use_fused(tb):
+        return pallas_ntt.ntt_fused(x, tb.stages)
     batch = x.shape[:-2]
 
     # Phase A: spans t = n/2 down to 128.
@@ -135,6 +153,8 @@ def intt(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
     n = tb.ring_dim
     L = tb.q.shape[0]
     assert x.shape[-1] == n and x.shape[-2] == L, (x.shape, L, n)
+    if _use_fused(tb):
+        return pallas_ntt.intt_fused(x, tb.stages)
     batch = x.shape[:-2]
 
     nblk = n // min(n, _LANE)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..rns import primes as primes_mod
 from ..rns import modops
+from . import pallas_ntt
 
 
 def _bitrev(x: int, bits: int) -> int:
@@ -46,6 +47,9 @@ class NttTables:
     itab_shoup: jnp.ndarray   # (L, N)
     ninv: jnp.ndarray         # (L,) N^{-1} mod q
     ninv_shoup: jnp.ndarray   # (L,)
+    # Per-stage expanded twiddles for the fused Pallas kernels (None when the
+    # ring is too small to fuse; the jnp path is used then).
+    stages: pallas_ntt.NttStageTables | None = None
 
     @property
     def num_limbs(self) -> int:
@@ -62,6 +66,8 @@ class NttTables:
             itab_shoup=self.itab_shoup[lo:hi],
             ninv=self.ninv[lo:hi],
             ninv_shoup=self.ninv_shoup[lo:hi],
+            stages=(None if self.stages is None
+                    else self.stages.slice_limbs(lo, hi)),
         )
 
 
@@ -100,4 +106,5 @@ def make_tables(ring_dim: int, moduli: tuple[int, ...]) -> NttTables:
         itab_shoup=jnp.asarray(modops.shoup_precompute(itab, qs[:, None])),
         ninv=jnp.asarray(ninv),
         ninv_shoup=jnp.asarray(modops.shoup_precompute(ninv, qs)),
+        stages=pallas_ntt.make_stage_tables(n, moduli, tab, itab, ninv),
     )

@@ -23,7 +23,9 @@ import numpy as np
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalar (not a jnp array) so functions using it stay capture-free
+# inside Pallas kernels.
+_MASK16 = np.uint32(0xFFFF)
 
 
 def to_u32(x) -> jnp.ndarray:
