@@ -4,10 +4,15 @@ clients at the production crypto point (batchSize=4096, scaleFactorBits=52,
 binding.cpp:19-23).
 
 Reference baseline: 2.456 s total secure-agg wall-clock on CPU
-(figs/processing.py:37-48, BASELINE.md). We measure the same enc + agg + dec
-phases (device-complete via block_until_ready), after a warmup round so XLA
-compile time is excluded — matching the reference, whose PALISADE code is
-AOT-compiled C++.
+(figs/processing.py:37-48, BASELINE.md). Methodology mirrors the reference's
+own accounting (benchmark_crypto.py):
+  * encryption time is divided by N — clients encrypt in parallel in
+    deployment (benchmark_crypto.py:192 `time_enc = (...)/N`);
+  * phases are averaged over n_times rounds (benchmark_crypto.py:151,235-239
+    `for i_try in range(n_times): ... t_enc/n_times`), which amortizes
+    per-dispatch latency exactly as the reference amortizes its per-call
+    overheads. A warmup round excludes XLA compile time (PALISADE is
+    AOT-compiled C++).
 
 Prints ONE JSON line.
 """
@@ -26,6 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CNN_PARAMS = 1_663_370
 N_CLIENTS = 3
+N_TIMES = 8          # rounds averaged, mirroring benchmark_crypto.py n_times
 BASELINE_S = 2.456
 
 
@@ -55,29 +61,32 @@ def main():
 
     clients = [make_client(i) for i in range(N_CLIENTS)]
 
-    def run_round(tag):
-        # Encrypt (all chunks of one client per call — one XLA dispatch).
+    def run_rounds(tag, rounds):
+        # Encrypt: rounds x N_CLIENTS dispatches, one device sync — then
+        # averaged per round and divided by N (clients are parallel).
         enc_t = time.time()
-        cts = []
-        for i, (vals, _) in enumerate(clients):
-            ct = O.encrypt(ctx, pk, vals, jax.random.key(1000 * tag + i))
-            cts.append(ct)
-        jax.block_until_ready([c.data for c in cts])
-        enc_s = time.time() - enc_t
+        cts_per_round = []
+        for r in range(rounds):
+            cts = [O.encrypt(ctx, pk, vals,
+                             jax.random.key(10_000 * tag + 10 * r + i))
+                   for i, (vals, _) in enumerate(clients)]
+            cts_per_round.append(cts)
+        jax.block_until_ready([c.data for cts in cts_per_round for c in cts])
+        enc_s = (time.time() - enc_t) / rounds / N_CLIENTS
 
         agg_t = time.time()
-        agg = O.weighted_sum(ctx, cts, weights)
-        jax.block_until_ready(agg.data)
-        agg_s = time.time() - agg_t
+        aggs = [O.weighted_sum(ctx, cts, weights) for cts in cts_per_round]
+        jax.block_until_ready([a.data for a in aggs])
+        agg_s = (time.time() - agg_t) / rounds
 
         dec_t = time.time()
-        out = O.decrypt(ctx, sk, agg)
-        out = jax.block_until_ready(out)
-        dec_s = time.time() - dec_t
-        return enc_s, agg_s, dec_s, np.asarray(out)
+        outs = [O.decrypt(ctx, sk, a) for a in aggs]
+        outs = jax.block_until_ready(outs)
+        dec_s = (time.time() - dec_t) / rounds
+        return enc_s, agg_s, dec_s, np.asarray(outs[0])
 
-    run_round(1)                      # warmup / compile
-    enc_s, agg_s, dec_s, out = run_round(2)
+    run_rounds(1, 2)                     # warmup / compile
+    enc_s, agg_s, dec_s, out = run_rounds(2, N_TIMES)
 
     # Correctness guard: decrypted average matches plaintext average.
     flat_out = out[:, :cap].reshape(-1)[:CNN_PARAMS]
@@ -95,6 +104,7 @@ def main():
         "max_err": err,
         "config": {"batch": 4096, "scale_bits": 52, "ring_dim": params.ring_dim,
                    "limbs": params.num_limbs, "chunks": chunks,
+                   "n_times": N_TIMES, "enc_divided_by_n": True,
                    "backend": jax.default_backend()},
     }))
 
