@@ -61,15 +61,23 @@ def main():
 
     clients = [make_client(i) for i in range(N_CLIENTS)]
 
-    def run_rounds(tag, rounds):
+    def run_rounds(tag, rounds, symmetric=True):
         # Encrypt: rounds x N_CLIENTS dispatches, one device sync — then
         # averaged per round and divided by N (clients are parallel).
+        # Secret-key encryption by default: every learner holds sk in the
+        # reference protocol (ckks.cpp:11-23 loads key-private everywhere),
+        # and sk-encryption needs one NTT batch instead of four.
         enc_t = time.time()
         cts_per_round = []
         for r in range(rounds):
-            cts = [O.encrypt(ctx, pk, vals,
-                             jax.random.key(10_000 * tag + 10 * r + i))
-                   for i, (vals, _) in enumerate(clients)]
+            keys = [jax.random.key(10_000 * tag + 10 * r + i)
+                    for i in range(N_CLIENTS)]
+            if symmetric:
+                cts = [O.encrypt_symmetric(ctx, sk, vals, k)
+                       for (vals, _), k in zip(clients, keys)]
+            else:
+                cts = [O.encrypt(ctx, pk, vals, k)
+                       for (vals, _), k in zip(clients, keys)]
             cts_per_round.append(cts)
         jax.block_until_ready([c.data for cts in cts_per_round for c in cts])
         enc_s = (time.time() - enc_t) / rounds / N_CLIENTS
@@ -87,6 +95,8 @@ def main():
 
     run_rounds(1, 2)                     # warmup / compile
     enc_s, agg_s, dec_s, out = run_rounds(2, N_TIMES)
+    run_rounds(3, 1, symmetric=False)    # warmup pk path
+    enc_pk_s, _, _, _ = run_rounds(4, N_TIMES, symmetric=False)
 
     # Correctness guard: decrypted average matches plaintext average.
     flat_out = out[:, :cap].reshape(-1)[:CNN_PARAMS]
@@ -100,7 +110,8 @@ def main():
         "unit": "s",
         "vs_baseline": round(BASELINE_S / total, 2),
         "phases": {"init": round(init_s, 4), "encrypt": round(enc_s, 4),
-                   "aggregate": round(agg_s, 4), "decrypt": round(dec_s, 4)},
+                   "aggregate": round(agg_s, 4), "decrypt": round(dec_s, 4),
+                   "encrypt_publickey": round(enc_pk_s, 4)},
         "max_err": err,
         "config": {"batch": 4096, "scale_bits": 52, "ring_dim": params.ring_dim,
                    "limbs": params.num_limbs, "chunks": chunks,

@@ -111,6 +111,45 @@ def encrypt_encoded(ctx: CkksContext, pk: PublicKey, pt: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
+def _encrypt_sym_impl(ctx: CkksContext, sk: SecretKey, values: jnp.ndarray,
+                      rng_key, scale: float) -> jnp.ndarray:
+    """Secret-key RLWE encryption: ct = (a*s + [m + e]^, -a) with `a` sampled
+    uniformly *in the evaluation domain* — one NTT batch total instead of the
+    four the public-key path needs (m, u, e0, e1).
+
+    Valid whenever the encryptor holds sk — which is the reference's own
+    trust model: every learner loads the secret key and decrypts
+    (ckks.cpp:11-23 loads key-private for all parties; decrypt at
+    ckks.cpp:189). PALISADE likewise exposes Encrypt(privateKey, pt).
+    Decryption, aggregation, and noise behavior are identical to the
+    public-key path: c0 + c1*s = m + e."""
+    chunks, n = values.shape
+    L = ctx.params.chain_len
+    q = ctx.q[:L]
+    qb = q[:, None]
+    tb = ctx.tables.slice_limbs(0, L)
+
+    pt = encoding.encode_coeff(ctx, values, scale)       # (chunks, L, N)
+    k_a, k_e = jax.random.split(rng_key)
+    e = lift_signed(cbd_coeffs(k_e, (chunks, n)), q)
+    w_hat = ntt_mod.ntt(modops.add_mod(pt, e, qb), tb)   # the ONE transform
+    a_hat = uniform_mod_q(k_a, (chunks, L, n), ctx)
+    c0 = modops.add_mod(
+        modops.mul_mod_shoup(a_hat, sk.s[:L], sk.s_shoup[:L], qb),
+        w_hat, qb)
+    c1 = modops.neg_mod(a_hat, qb)
+    return jnp.stack([c0, c1], axis=1)
+
+
+def encrypt_symmetric(ctx: CkksContext, sk: SecretKey, values: jnp.ndarray,
+                      rng_key, scale: float | None = None) -> Ciphertext:
+    """Secret-key encrypt of (chunks, N) f32 values (see _encrypt_sym_impl)."""
+    scale = float(ctx.params.scale if scale is None else scale)
+    data = _encrypt_sym_impl(ctx, sk, values, rng_key, scale)
+    return Ciphertext(data=data, scale=scale, level=0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
 def _decrypt_impl(ctx: CkksContext, sk: SecretKey, data: jnp.ndarray,
                   scale: float) -> jnp.ndarray:
     live = data.shape[2]

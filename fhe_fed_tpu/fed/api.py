@@ -49,13 +49,17 @@ class CKKS(Scheme):
                  scaleFactorBits: int = 52,
                  cryptodir: str = "../resources/cryptoparams/",
                  mult_depth: int = 1, dense_pack: bool = False,
-                 seed: int | None = None):
+                 symmetric: bool = False, seed: int | None = None):
         super().__init__(scheme)
         self.batchSize = int(batchSize)
         self.scaleFactorBits = int(scaleFactorBits)
         self.cryptodir = cryptodir
         self.mult_depth = int(mult_depth)
         self.dense_pack = bool(dense_pack)
+        # symmetric=True: secret-key RLWE encryption (1 NTT batch instead of
+        # 4). Identical ciphertexts/noise; valid because every learner holds
+        # sk in this protocol (they decrypt — ckks.cpp:11-23,189).
+        self.symmetric = bool(symmetric)
         self._params = ckks_params.make_params(
             batch=self.batchSize, scale_bits=self.scaleFactorBits,
             mult_depth=self.mult_depth)
@@ -146,8 +150,12 @@ class CKKS(Scheme):
             raise RuntimeError("call loadCryptoParams() or "
                                "genCryptoContextAndKeyGen() first")
         flat = np.asarray(data_array).reshape(-1)
-        ct = ckks_ops.encrypt(self.ctx, self._pk, self._pack(flat),
-                              self._next_key())
+        if self.symmetric and self._sk is not None:
+            ct = ckks_ops.encrypt_symmetric(self.ctx, self._sk,
+                                            self._pack(flat), self._next_key())
+        else:
+            ct = ckks_ops.encrypt(self.ctx, self._pk, self._pack(flat),
+                                  self._next_key())
         return ckks_serial.serialize_ct(self.ctx, ct)
 
     def computeWeightedAverage(self, learner_data: list[bytes],

@@ -110,3 +110,30 @@ def test_encode_decode_exact_crt():
     pt = E.encode_coeff(ctx, jnp.asarray(vals), 2.0 ** 52)
     out = np.asarray(E.decode_coeff(ctx, pt, 2.0 ** 52))
     np.testing.assert_allclose(out, vals, rtol=2e-7, atol=1e-11)
+
+
+def test_symmetric_encrypt_roundtrip():
+    ctx = _small_ctx()
+    sk, pk = K.keygen(ctx, seed=7)
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(-1, 1, size=(4, 256)).astype(np.float32)
+    ct = O.encrypt_symmetric(ctx, sk, jnp.asarray(vals), jax.random.key(9))
+    out = np.asarray(O.decrypt(ctx, sk, ct))
+    np.testing.assert_allclose(out, vals, atol=2e-6)
+
+
+def test_symmetric_mixes_with_public_in_weighted_sum():
+    """Symmetric and public-key ciphertexts are the same RLWE object: the
+    fused weighted average over a mix must decrypt to the weighted sum."""
+    ctx = _small_ctx()
+    sk, pk = K.keygen(ctx, seed=8)
+    rng = np.random.default_rng(6)
+    a = rng.uniform(-1, 1, size=(2, 256)).astype(np.float32)
+    b = rng.uniform(-1, 1, size=(2, 256)).astype(np.float32)
+    c = rng.uniform(-1, 1, size=(2, 256)).astype(np.float32)
+    cts = [O.encrypt_symmetric(ctx, sk, jnp.asarray(a), jax.random.key(11)),
+           O.encrypt(ctx, pk, jnp.asarray(b), jax.random.key(12)),
+           O.encrypt_symmetric(ctx, sk, jnp.asarray(c), jax.random.key(13))]
+    agg = O.weighted_sum(ctx, cts, [0.5, 0.2, 0.3])
+    out = np.asarray(O.decrypt(ctx, sk, agg))
+    np.testing.assert_allclose(out, 0.5 * a + 0.2 * b + 0.3 * c, atol=6e-6)
