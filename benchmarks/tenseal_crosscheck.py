@@ -49,6 +49,24 @@ def run_tenseal(data: list[np.ndarray]) -> np.ndarray | None:
     return np.asarray(agg.decrypt())
 
 
+def run_helayers_probe(n: int) -> int | None:
+    """IBM HElayers encrypt-size probe (reference test_helayer.py:1-21):
+    encrypt an n-dim vector, return ciphertext bytes. None if pyhelayers
+    is not installed (it is not baked into this image)."""
+    try:
+        import pyhelayers
+    except ImportError:
+        return None
+    he = pyhelayers.DefaultContext()
+    req = pyhelayers.HeConfigRequirement(
+        num_slots=4096, multiplication_depth=1,
+        fractional_part_precision=40, integer_part_precision=12)
+    he.init(req)
+    enc = pyhelayers.Encoder(he)
+    ct = enc.encode_encrypt(np.zeros(n))
+    return len(ct.save_to_buffer())
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     n = int(argv[0]) if argv else 4096
@@ -73,6 +91,8 @@ def main(argv=None):
               f"cross {err_cross:.3e}")
         assert err_cross < 1e-3
     assert err_ours < 1e-4
+    hl_bytes = run_helayers_probe(n)
+    rec["helayers_ct_bytes"] = hl_bytes if hl_bytes else "unavailable"
     append_jsonl("crosscheck.jsonl", rec)
     return rec
 
