@@ -65,30 +65,37 @@ def main():
         return jnp.asarray(buf), flat
 
     clients = [make_client(i) for i in range(N_CLIENTS)]
+    # All clients' payloads as one (K, chunks, N) array — the cohort is
+    # encrypted in ONE dispatch per round (dispatch latency through the
+    # remote-TPU tunnel otherwise dominates at these shapes).
+    stacked_vals = jnp.stack([v for v, _ in clients])
 
     def run_rounds(tag, rounds, symmetric=True):
-        # Encrypt: rounds x N_CLIENTS dispatches, one device sync — then
-        # averaged per round and divided by N (clients are parallel).
+        # Per-round PRNG keys, materialized before the timer (seeding is not
+        # a timed phase in the reference either — benchmark_crypto.py:167).
+        round_keys = list(jax.random.split(jax.random.key(tag), rounds))
+        jax.block_until_ready(round_keys)
+
+        # Encrypt: ONE dispatch per round covering all N clients, one device
+        # sync — averaged per round and divided by N (clients run in
+        # parallel in deployment, benchmark_crypto.py:192).
         # Secret-key encryption by default: every learner holds sk in the
         # reference protocol (ckks.cpp:11-23 loads key-private everywhere),
         # and sk-encryption needs one NTT batch instead of four.
         enc_t = time.time()
         cts_per_round = []
         for r in range(rounds):
-            keys = [jax.random.key(10_000 * tag + 10 * r + i)
-                    for i in range(N_CLIENTS)]
             if symmetric:
-                cts = [O.encrypt_symmetric(ctx, sk, vals, k)
-                       for (vals, _), k in zip(clients, keys)]
+                ct = O.encrypt_symmetric_stacked(ctx, sk, stacked_vals,
+                                                 round_keys[r])
             else:
-                cts = [O.encrypt(ctx, pk, vals, k)
-                       for (vals, _), k in zip(clients, keys)]
-            cts_per_round.append(cts)
-        jax.block_until_ready([c.data for cts in cts_per_round for c in cts])
+                ct = O.encrypt_stacked(ctx, pk, stacked_vals, round_keys[r])
+            cts_per_round.append(ct)
+        jax.block_until_ready([c.data for c in cts_per_round])
         enc_s = (time.time() - enc_t) / rounds / N_CLIENTS
 
         agg_t = time.time()
-        aggs = [O.weighted_sum(ctx, cts, weights) for cts in cts_per_round]
+        aggs = [O.weighted_sum(ctx, ct, weights) for ct in cts_per_round]
         jax.block_until_ready([a.data for a in aggs])
         agg_s = (time.time() - agg_t) / rounds
 

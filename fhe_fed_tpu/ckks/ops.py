@@ -151,6 +151,46 @@ def encrypt_symmetric(ctx: CkksContext, sk: SecretKey, values: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
+def _encrypt_sym_stacked_impl(ctx: CkksContext, sk: SecretKey,
+                              values: jnp.ndarray, rng_key,
+                              scale: float) -> jnp.ndarray:
+    """values: (K, chunks, N) -> ct data (K, chunks, 2, L, N); all K clients
+    encrypted in ONE XLA computation (per-client keys split inside)."""
+    keys = jax.random.split(rng_key, values.shape[0])
+    return jax.vmap(
+        lambda v, k: _encrypt_sym_impl(ctx, sk, v, k, scale))(values, keys)
+
+
+def encrypt_symmetric_stacked(ctx: CkksContext, sk: SecretKey,
+                              values: jnp.ndarray, rng_key,
+                              scale: float | None = None) -> Ciphertext:
+    """Encrypt a whole cohort at once: values (K, chunks, N) -> batched
+    Ciphertext with data (K, chunks, 2, L, N). One device dispatch for all K
+    clients — the batched analogue of the reference's per-learner encrypt
+    loop (benchmark_crypto.py:183-186). Feed the result to weighted_sum."""
+    scale = float(ctx.params.scale if scale is None else scale)
+    data = _encrypt_sym_stacked_impl(ctx, sk, values, rng_key, scale)
+    return Ciphertext(data=data, scale=scale, level=0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _encrypt_stacked_impl(ctx: CkksContext, pk: PublicKey,
+                          values: jnp.ndarray, rng_key,
+                          scale: float) -> jnp.ndarray:
+    keys = jax.random.split(rng_key, values.shape[0])
+    return jax.vmap(
+        lambda v, k: _encrypt_impl(ctx, pk, v, k, scale))(values, keys)
+
+
+def encrypt_stacked(ctx: CkksContext, pk: PublicKey, values: jnp.ndarray,
+                    rng_key, scale: float | None = None) -> Ciphertext:
+    """Public-key analogue of encrypt_symmetric_stacked."""
+    scale = float(ctx.params.scale if scale is None else scale)
+    data = _encrypt_stacked_impl(ctx, pk, values, rng_key, scale)
+    return Ciphertext(data=data, scale=scale, level=0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
 def _decrypt_impl(ctx: CkksContext, sk: SecretKey, data: jnp.ndarray,
                   scale: float) -> jnp.ndarray:
     live = data.shape[2]
@@ -249,9 +289,24 @@ def _weighted_sum_impl(ctx: CkksContext, stacked: jnp.ndarray,
 
     THE FedAvg hot op — replaces the reference's serial per-learner
     EvalMult+EvalAdd loop (ckks.cpp:273-298) with one fused reduction.
+
+    Two equivalent lowerings:
+      * small K (unrolled chain) — scalar-mult + add_mod per client, all
+        fused by XLA into a single pass over the K inputs;
+      * large K — 16-bit split accumulation (modsum_clients), whose
+        jnp.sum lowers to a native XLA reduction and becomes a psum when
+        the client axis is mesh-sharded (parallel/mesh.py uses it directly).
     """
+    K = stacked.shape[0]
     live = stacked.shape[3]
     qb = ctx.q[:live, None]
+    if K <= 8:
+        acc = None
+        for i in range(K):
+            t = modops.mul_mod_shoup(stacked[i], w_res[i, None, :, None],
+                                     w_shoup[i, None, :, None], qb)
+            acc = t if acc is None else modops.add_mod(acc, t, qb)
+        return acc
     terms = modops.mul_mod_shoup(
         stacked, w_res[:, None, None, :, None],
         w_shoup[:, None, None, :, None], qb)
@@ -259,19 +314,30 @@ def _weighted_sum_impl(ctx: CkksContext, stacked: jnp.ndarray,
                           ctx.pow32_shoup[:live, None])
 
 
-def weighted_sum(ctx: CkksContext, cts: list[Ciphertext],
-                 weights: list[float]) -> Ciphertext:
-    """computeWeightedAverage core (ckks.cpp:264-320), fused."""
-    assert len(cts) == len(weights)
-    ct0 = cts[0]
-    live = ct0.live_limbs
-    ds = _scalar_scale(ctx, ct0.level)
+def weighted_sum(ctx: CkksContext, cts, weights: list[float]) -> Ciphertext:
+    """computeWeightedAverage core (ckks.cpp:264-320), fused.
+
+    `cts` is either a list of (chunks, 2, live, N) Ciphertexts or ONE batched
+    Ciphertext with data (K, chunks, 2, live, N) from encrypt_*_stacked —
+    the latter avoids the eager stack (one fewer device dispatch)."""
+    if isinstance(cts, Ciphertext):
+        assert cts.data.ndim == 5 and cts.data.shape[0] == len(weights)
+        scale0, level0 = cts.scale, cts.level
+        live = int(cts.data.shape[3])
+        stacked = cts.data
+    else:
+        assert len(cts) == len(weights)
+        scale0, level0 = cts[0].scale, cts[0].level
+        live = cts[0].live_limbs
+        stacked = None
+    ds = _scalar_scale(ctx, level0)
     res_l, shoup_l = [], []
     for w in weights:
         r, s = encoding.encode_scalar(ctx.params.moduli[:live], float(w), ds)
         res_l.append(r)
         shoup_l.append(s)
-    stacked = jnp.stack([c.data for c in cts])
+    if stacked is None:
+        stacked = jnp.stack([c.data for c in cts])
     w_res = jnp.asarray(np.stack(res_l))
     w_shoup = jnp.asarray(np.stack(shoup_l))
     # Fused Pallas aggregation is opt-in: measured on v5e, XLA's split
@@ -284,7 +350,7 @@ def weighted_sum(ctx: CkksContext, cts: list[Ciphertext],
             stacked, w_res, w_shoup, ctx.q[:live, None])
     else:
         data = _weighted_sum_impl(ctx, stacked, w_res, w_shoup)
-    return Ciphertext(data=data, scale=ct0.scale * ds, level=ct0.level)
+    return Ciphertext(data=data, scale=scale0 * ds, level=level0)
 
 
 @jax.jit
