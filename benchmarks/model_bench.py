@@ -29,7 +29,7 @@ DEFAULT_MODELS = ["linear", "tst", "mlp", "rnn_lstm", "cnn_fedavg"]
 
 
 def bench_model(name: str, n_clients: int, helper: CKKS,
-                seed: int = 0) -> dict:
+                seed: int = 0, use_bytes: bool = False) -> dict:
     spec = models.build(name, seed=seed)
     flat, _ = flatten_params(spec.params)
     n = flat.size
@@ -39,18 +39,32 @@ def bench_model(name: str, n_clients: int, helper: CKKS,
     weights = [1.0 / n_clients] * n_clients
 
     t = PhaseTimer()
-    with t.phase("encrypt"):
-        blobs = [helper.encrypt(c) for c in clients]
-    ct_bytes = sum(len(b) for b in blobs)
-    with t.phase("aggregate"):
-        agg = helper.computeWeightedAverage(blobs, weights)
-    with t.phase("decrypt"):
-        out = helper.decrypt(agg, n).astype(np.float32)
+    if use_bytes:
+        # Reference-parity wire path: one blob per client (ckks.cpp:98-101).
+        with t.phase("encrypt"):
+            blobs = [helper.encrypt(c) for c in clients]
+        ct_bytes = sum(len(b) for b in blobs)
+        with t.phase("aggregate"):
+            agg = helper.computeWeightedAverage(blobs, weights)
+        with t.phase("decrypt"):
+            out = helper.decrypt(agg, n).astype(np.float32)
+    else:
+        # Device-resident cohort path (the deployment-pod fast path).
+        with t.phase("encrypt"):
+            cohort = helper.encrypt_cohort(clients)
+            jax.block_until_ready(cohort.data)
+        ct_bytes = helper.ct_wire_bytes(cohort)
+        with t.phase("aggregate"):
+            agg_ct = helper.aggregate_cohort(cohort, weights)
+            jax.block_until_ready(agg_ct.data)
+        with t.phase("decrypt"):
+            out = helper.decrypt_cohort(agg_ct, n).astype(np.float32)
     err = float(np.max(np.abs(out - np.mean(np.stack(clients), axis=0))))
 
     plain_bytes = n * 4 * n_clients
     return {"model": name, "params": n, "clients": n_clients,
             "phases": dict(t.phases), "total": t.total,
+            "path": "bytes" if use_bytes else "cohort",
             "ct_bytes": ct_bytes, "plain_bytes": plain_bytes,
             "comm_expansion": ct_bytes / plain_bytes, "max_err": err,
             "backend": jax.default_backend()}
@@ -62,12 +76,22 @@ def main(argv=None):
     ap.add_argument("--clients", type=int, default=3)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--bits", type=int, default=52)
+    ap.add_argument("--bytes", action="store_true",
+                    help="per-client bytes wire path instead of the cohort "
+                         "fast path")
+    ap.add_argument("--pk", action="store_true",
+                    help="public-key encryption (default: secret-key, the "
+                         "reference trust model — every learner holds sk)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run each model once untimed first (excludes XLA "
+                         "compile, as PALISADE is AOT-compiled C++)")
     args = ap.parse_args(argv)
 
     keydir = os.path.join(results_dir(), "bench_keys")
     os.makedirs(keydir, exist_ok=True)
     t0 = time.time()
-    helper = CKKS("ckks", args.batch, args.bits, cryptodir=keydir)
+    helper = CKKS("ckks", args.batch, args.bits, cryptodir=keydir,
+                  symmetric=not args.pk)
     helper.genCryptoContextAndKeyGen()
     helper.loadCryptoParams()
     init_s = time.time() - t0
@@ -76,7 +100,11 @@ def main(argv=None):
     results = []
     with open(txt_path, "w") as f:
         for i, name in enumerate(args.models):
-            r = bench_model(name, args.clients, helper)
+            if args.warmup:
+                bench_model(name, args.clients, helper,
+                            use_bytes=args.bytes)
+            r = bench_model(name, args.clients, helper,
+                            use_bytes=args.bytes)
             r["init"] = init_s
             results.append(r)
             append_jsonl("model_bench.jsonl", r)

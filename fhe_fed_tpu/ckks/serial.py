@@ -31,6 +31,8 @@ _VER = 1
 _CT_HDR = struct.Struct("<4sHIIHIIHd")
 _KEY_HDR = struct.Struct("<4sHBIII")
 
+CT_HEADER_BYTES = _CT_HDR.size
+
 
 def serialize_ct(ctx: CkksContext, ct: Ciphertext) -> bytes:
     data = np.asarray(ct.data)

@@ -177,3 +177,75 @@ class CKKS(Scheme):
         ct = ckks_serial.deserialize_ct(self.ctx, learner_data)
         vals = np.asarray(ckks_ops.decrypt(self.ctx, self._sk, ct))
         return self._unpack(vals, int(data_dimensions))
+
+    # -- cohort fast path ----------------------------------------------------
+    #
+    # The bytes methods above are the wire-parity surface (one blob per
+    # client, matching ckks.cpp:61-104/264-320 semantics). In a co-located
+    # aggregation pod, the per-client dispatch + host serialize/deserialize
+    # round-trip is pure overhead (SURVEY.md §7: "the reference's per-key
+    # Python loop is exactly what we must not replicate"). The cohort path
+    # keeps the whole round device-resident: ONE dispatch encrypts all K
+    # clients, ONE fused kernel aggregates, ONE dispatch decrypts.
+
+    def _pack_cohort(self, client_vectors) -> jnp.ndarray:
+        """K flat vectors (same size) -> (K, chunks, N) f32."""
+        n = self._params.ring_dim
+        cap = self.capacity
+        flats = [np.asarray(v).reshape(-1) for v in client_vectors]
+        size = flats[0].size
+        assert all(f.size == size for f in flats), "cohort sizes differ"
+        chunks = max(1, -(-size // cap))
+        buf = np.zeros((len(flats), chunks, n), dtype=np.float32)
+        pay = buf[:, :, :cap].reshape(len(flats), -1)
+        for i, f in enumerate(flats):
+            pay[i, :size] = f.astype(np.float32, copy=False)
+        buf[:, :, :cap] = pay.reshape(len(flats), chunks, cap)
+        return jnp.asarray(buf)
+
+    def encrypt_cohort(self, client_vectors) -> ckks_ops.Ciphertext:
+        """Encrypt all K clients' flat vectors in ONE device dispatch.
+        Returns a device-resident batched Ciphertext (K, chunks, 2, L, N)."""
+        if self._pk is None and self._sk is None:
+            raise RuntimeError("call loadCryptoParams() or "
+                               "genCryptoContextAndKeyGen() first")
+        stacked = self._pack_cohort(client_vectors)
+        if self.symmetric and self._sk is not None:
+            return ckks_ops.encrypt_symmetric_stacked(
+                self.ctx, self._sk, stacked, self._next_key())
+        return ckks_ops.encrypt_stacked(self.ctx, self._pk, stacked,
+                                        self._next_key())
+
+    def aggregate_cohort(self, cohort_ct: ckks_ops.Ciphertext,
+                         scaling_factors: list[float]) -> ckks_ops.Ciphertext:
+        """Fused encrypted weighted average of a batched cohort ciphertext
+        (ckks.cpp:264-320 semantics, no bytes round-trip)."""
+        return ckks_ops.weighted_sum(self.ctx, cohort_ct,
+                                     [float(s) for s in scaling_factors])
+
+    def decrypt_cohort(self, ct: ckks_ops.Ciphertext,
+                       data_dimensions: int) -> np.ndarray:
+        if self._sk is None:
+            raise RuntimeError("call loadCryptoParams() first")
+        vals = np.asarray(ckks_ops.decrypt(self.ctx, self._sk, ct))
+        return self._unpack(vals, int(data_dimensions))
+
+    def ct_wire_bytes(self, ct: ckks_ops.Ciphertext,
+                      per_client: bool = False) -> int:
+        """Serialized size of `ct` without materializing the bytes. For a
+        batched cohort ct, per_client=True reports one client's upload."""
+        data = ct.data
+        if data.ndim == 5:
+            k = data.shape[0]
+            one = data.nbytes // k + ckks_serial.CT_HEADER_BYTES
+            return one if per_client else k * one
+        return data.nbytes + ckks_serial.CT_HEADER_BYTES
+
+    def fedavg_round(self, client_vectors, scaling_factors,
+                     data_dimensions: int | None = None) -> np.ndarray:
+        """One full secure-FedAvg round, device-resident end to end."""
+        dims = (int(data_dimensions) if data_dimensions is not None
+                else int(np.asarray(client_vectors[0]).size))
+        ct = self.encrypt_cohort(client_vectors)
+        agg = self.aggregate_cohort(ct, scaling_factors)
+        return self.decrypt_cohort(agg, dims)

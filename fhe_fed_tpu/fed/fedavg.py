@@ -113,12 +113,17 @@ def merge_by_policy(enc, plain, plan):
 
 
 def fhe_fedavg(scheme, client_params: list, weights: list[float],
-               policy: SelectivePolicy = FULL):
+               policy: SelectivePolicy = FULL, use_bytes: bool = False):
     """End-to-end secure FedAvg over pytrees.
 
     scheme: a fed.api.CKKS (or any Scheme) instance with keys loaded.
     client_params: list of pytrees (same structure).
     weights: scaling factors, typically summing to 1.
+    use_bytes: force the per-client bytes wire path (the reference's
+        client<->server boundary, ckks.cpp:98-101). By default the whole
+        cohort goes through the device-resident fast path when the scheme
+        offers one (fed.api.CKKS.fedavg_round) — no per-client dispatch, no
+        host serialize/deserialize round-trip.
 
     Returns the aggregated pytree. The plaintext remainder (selective mode)
     is aggregated directly (benchmark_selection.py:152-158 semantics).
@@ -135,9 +140,13 @@ def fhe_fedavg(scheme, client_params: list, weights: list[float],
         plains.append(pl)
 
     if encs[0].size:
-        blobs = [scheme.encrypt(e) for e in encs]
-        agg_blob = scheme.computeWeightedAverage(blobs, list(weights))
-        enc_out = scheme.decrypt(agg_blob, encs[0].size).astype(np.float32)
+        if not use_bytes and hasattr(scheme, "fedavg_round"):
+            enc_out = scheme.fedavg_round(
+                encs, list(weights), encs[0].size).astype(np.float32)
+        else:
+            blobs = [scheme.encrypt(e) for e in encs]
+            agg_blob = scheme.computeWeightedAverage(blobs, list(weights))
+            enc_out = scheme.decrypt(agg_blob, encs[0].size).astype(np.float32)
     else:
         enc_out = np.zeros(0, np.float32)
 

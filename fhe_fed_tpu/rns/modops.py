@@ -95,7 +95,7 @@ def mul_mod_shoup(x, w, w_shoup, q):
     return jnp.where(r >= q, r - q, r)
 
 
-def barrett_precompute(q: int) -> tuple[int, int]:
+def barrett_precompute(q: int) -> int:
     """Host-side Barrett constant for q in (2**30, 2**31):
     mu = floor(2**62 / q) < 2**32."""
     assert 2 ** 30 < q < 2 ** 31
