@@ -203,13 +203,24 @@ class CKKS(Scheme):
         buf[:, :, :cap] = pay.reshape(len(flats), chunks, cap)
         return jnp.asarray(buf)
 
+    def pack_cohort(self, client_vectors) -> jnp.ndarray:
+        """Stage K clients' flat vectors on-device as (K, chunks, N) f32 —
+        the host-side prep the reference does outside its encrypt timer too
+        (tensor_to_numpy_arr flatten, benchmark_crypto.py:159 vs :183)."""
+        return self._pack_cohort(client_vectors)
+
     def encrypt_cohort(self, client_vectors) -> ckks_ops.Ciphertext:
         """Encrypt all K clients' flat vectors in ONE device dispatch.
+        Accepts a list of host vectors or a pre-staged pack_cohort() array.
         Returns a device-resident batched Ciphertext (K, chunks, 2, L, N)."""
         if self._pk is None and self._sk is None:
             raise RuntimeError("call loadCryptoParams() or "
                                "genCryptoContextAndKeyGen() first")
-        stacked = self._pack_cohort(client_vectors)
+        if isinstance(client_vectors, jnp.ndarray) and \
+                client_vectors.ndim == 3:
+            stacked = client_vectors
+        else:
+            stacked = self._pack_cohort(client_vectors)
         if self.symmetric and self._sk is not None:
             return ckks_ops.encrypt_symmetric_stacked(
                 self.ctx, self._sk, stacked, self._next_key())
@@ -224,11 +235,22 @@ class CKKS(Scheme):
                                      [float(s) for s in scaling_factors])
 
     def decrypt_cohort(self, ct: ckks_ops.Ciphertext,
-                       data_dimensions: int) -> np.ndarray:
+                       data_dimensions: int | None = None, *,
+                       raw: bool = False):
+        """Decrypt a device-resident ciphertext. raw=True returns the
+        decoded (chunks, N) f32 array still on device (no host transfer);
+        otherwise returns the unpacked flat np.ndarray of length
+        data_dimensions."""
         if self._sk is None:
             raise RuntimeError("call loadCryptoParams() first")
-        vals = np.asarray(ckks_ops.decrypt(self.ctx, self._sk, ct))
-        return self._unpack(vals, int(data_dimensions))
+        dev = ckks_ops.decrypt(self.ctx, self._sk, ct)
+        if raw:
+            return dev
+        return self._unpack(np.asarray(dev), int(data_dimensions))
+
+    def unpack_values(self, dev_values, data_dimensions: int) -> np.ndarray:
+        """Host fetch + payload unpack of a raw decrypt_cohort result."""
+        return self._unpack(np.asarray(dev_values), int(data_dimensions))
 
     def ct_wire_bytes(self, ct: ckks_ops.Ciphertext,
                       per_client: bool = False) -> int:
