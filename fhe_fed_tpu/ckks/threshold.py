@@ -25,9 +25,26 @@ PALISADE's internal flooding).
 Joint Galois/eval-sum keys (mkhe.cpp:305-317): each party derives the
 common `a_j` rows from a shared public seed and publishes its additive
 share of every row; summing shares yields the joint key
-(combine_switch_key_shares). Joint relinearization (ct x ct under the
-joint key) needs a second interactive round (s_i * s) and is not needed
-by the reference's scalar-multiply circuit; not implemented.
+(combine_switch_key_shares).
+
+Joint relinearization (MultiKeySwitchGen + MultiMultEvalKey +
+MultiAddEvalMultKeys, mkhe.cpp:281-317) is the TWO-round ceremony:
+
+  round 1  party i publishes a switch-key share for its own s_i over the
+           COMMON rows a_j with payload P*s_i (partial_relin_round1);
+           summing shares gives D = (d0, d1) with
+           d0 = -a*s + e + P*gadget(s), d1 = a — a valid s -> s key
+           under the JOINT secret (combine_switch_key_shares).
+  round 2  party i publishes (d0*s_i + e0_i, d1*s_i + e1_i)
+           (partial_relin_round2); summing over parties
+           (combine_relin_shares) gives
+
+             b = d0*s + e0 = -a*s**2 + P*gadget(s**2) + (e*s + e0)
+             a'= d1*s + e1 =  a*s + e1
+
+           so b + a'*s = P*gadget(s**2) + (e*s + e0 + e1*s): a relin key
+           for the joint s**2 -> s, with the protocol's extra |s|-factor
+           noise (flooded away by rescale + decode precision).
 """
 
 from __future__ import annotations
@@ -193,6 +210,70 @@ def partial_galois_key(ctx: CkksContext, sk: SecretKey, g: int,
     b = modops.add_mod(b, pt[:, None, :] * eye, qb)
     # shares carry no Shoup tables; computed after combining
     return ks_mod.KSwitchKey(b=b, b_shoup=None, a=a, a_shoup=None)
+
+
+def partial_relin_round1(ctx: CkksContext, sk: SecretKey, common_seed: int,
+                         rng_key) -> ks_mod.KSwitchKey:
+    """Round-1 share (MultiKeySwitchGen, mkhe.cpp:281-304): payload P*s_i
+    on the common rows — the identity automorphism (g=1) of the galois
+    share construction."""
+    return partial_galois_key(ctx, sk, 1, common_seed, rng_key)
+
+
+def partial_relin_round2(ctx: CkksContext, sk: SecretKey,
+                         d_joint: ks_mod.KSwitchKey,
+                         rng_key) -> ks_mod.KSwitchKey:
+    """Round-2 share (MultiMultEvalKey): party i multiplies BOTH rows of
+    the combined round-1 key by its s_i and re-randomizes with fresh CBD
+    noise. Shares sum componentwise (combine_relin_shares)."""
+    chain = ctx.params.chain_len
+    qb = ctx.q[:, None]
+    k0, k1 = jax.random.split(rng_key)
+    e0 = ntt_mod.ntt_jit(
+        lift_signed(cbd_coeffs(k0, (chain, ctx.ring_dim)), ctx.q),
+        ctx.tables)
+    e1 = ntt_mod.ntt_jit(
+        lift_signed(cbd_coeffs(k1, (chain, ctx.ring_dim)), ctx.q),
+        ctx.tables)
+    b = modops.add_mod(
+        modops.mul_mod_shoup(d_joint.b, sk.s[None], sk.s_shoup[None], qb),
+        e0, qb)
+    a = modops.add_mod(
+        modops.mul_mod_shoup(d_joint.a, sk.s[None], sk.s_shoup[None], qb),
+        e1, qb)
+    return ks_mod.KSwitchKey(b=b, b_shoup=None, a=a, a_shoup=None)
+
+
+def combine_relin_shares(ctx: CkksContext,
+                         shares: list[ks_mod.KSwitchKey]
+                         ) -> ks_mod.KSwitchKey:
+    """Sum round-2 shares componentwise -> joint relinearization key
+    (MultiAddEvalMultKeys, mkhe.cpp:305-317)."""
+    qb = ctx.q[:, None]
+    b, a = shares[0].b, shares[0].a
+    for sh in shares[1:]:
+        b = modops.add_mod(b, sh.b, qb)
+        a = modops.add_mod(a, sh.a, qb)
+    q_np = np.asarray(ctx.q)[None, :, None]
+    return ks_mod.KSwitchKey(
+        b=b, b_shoup=jnp.asarray(modops.shoup_precompute(np.asarray(b),
+                                                         q_np)),
+        a=a, a_shoup=jnp.asarray(modops.shoup_precompute(np.asarray(a),
+                                                         q_np)))
+
+
+def multiparty_relin_key(ctx: CkksContext, sks: list[SecretKey],
+                         common_seed: int = 0,
+                         seed: int = 0) -> ks_mod.KSwitchKey:
+    """Full two-round joint relin ceremony over all parties."""
+    r1 = [partial_relin_round1(ctx, sk, common_seed,
+                               jax.random.key(seed * 31 + 1 + i))
+          for i, sk in enumerate(sks)]
+    d = combine_switch_key_shares(ctx, r1)
+    r2 = [partial_relin_round2(ctx, sk, d,
+                               jax.random.key(seed * 37 + 101 + i))
+          for i, sk in enumerate(sks)]
+    return combine_relin_shares(ctx, r2)
 
 
 def combine_switch_key_shares(ctx: CkksContext,

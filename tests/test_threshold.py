@@ -112,6 +112,68 @@ def test_joint_rotation_key(setup):
     np.testing.assert_allclose(got[0], want, atol=5e-3)
 
 
+def _threshold_decrypt(ctx, sks, ct):
+    parts = [T.partial_decrypt_lead(ctx, sks[0], ct, jax.random.key(90))]
+    for i, sk in enumerate(sks[1:]):
+        parts.append(T.partial_decrypt_main(ctx, sk, ct,
+                                            jax.random.key(91 + i)))
+    return np.asarray(T.fuse_decrypt(ctx, parts, ct.scale))
+
+
+def test_joint_relin_two_round_ceremony():
+    """ct x ct + relinearization under the JOINT key: the two-round
+    MultiKeySwitchGen/MultiMultEvalKey/MultiAddEvalMultKeys ceremony
+    (mkhe.cpp:281-317), verified against a negacyclic convolution oracle
+    and decrypted by threshold partial-decrypt fusion."""
+    p = P.make_params(batch=128, scale_bits=40, mult_depth=2, ring_dim=N)
+    ctx = P.make_context(p)
+    sks, pk = T.multiparty_keygen(ctx, PARTIES, seed=11)
+    rlk = T.multiparty_relin_key(ctx, sks, common_seed=5, seed=11)
+
+    rng = np.random.default_rng(8)
+    a = (rng.random((2, N)).astype(np.float32) - 0.5) / 8
+    b = (rng.random((2, N)).astype(np.float32) - 0.5) / 8
+    ct_a = O.encrypt(ctx, pk, jnp.asarray(a), jax.random.key(70))
+    ct_b = O.encrypt(ctx, pk, jnp.asarray(b), jax.random.key(71))
+
+    prod = O.rescale(ctx, KS.mul_ct(ctx, ct_a, ct_b, rlk))
+
+    def conv(x, y):
+        n = len(x)
+        full = np.convolve(x.astype(np.float64), y.astype(np.float64))
+        out = full[:n].copy()
+        out[: n - 1] -= full[n:]
+        return out
+
+    want = np.stack([conv(a[i], b[i]) for i in range(2)])
+    got = _threshold_decrypt(ctx, sks, prod)
+    np.testing.assert_allclose(got, want, atol=2e-2)
+    # classical decrypt under the summed secret agrees too
+    joint = _joint_secret(ctx, sks)
+    got2 = np.asarray(O.decrypt(ctx, joint, prod))
+    np.testing.assert_allclose(got2, want, atol=2e-2)
+
+
+def test_threshold_production_ring():
+    """Threshold flow at the production point (batch 4096 / scale 2^52 /
+    ring 8192 — binding.cpp:19-23 defaults), not just toy rings: chained
+    keygen, joint encryption, the mkhe weighted-sum circuit, and
+    partial-decrypt fusion."""
+    p = P.make_params(batch=4096, scale_bits=52, mult_depth=1)
+    ctx = P.make_context(p)
+    sks, pk = T.multiparty_keygen(ctx, PARTIES, seed=21)
+    n = ctx.ring_dim
+    rng = np.random.default_rng(9)
+    vs = [rng.standard_normal((1, n)).astype(np.float32) for _ in range(3)]
+    ws = [0.5, 0.2, 0.3]
+    cts = [O.encrypt(ctx, pk, jnp.asarray(v), jax.random.key(80 + i))
+           for i, v in enumerate(vs)]
+    agg = O.weighted_sum(ctx, cts, ws)
+    got = _threshold_decrypt(ctx, sks, agg)
+    want = sum(w * v for w, v in zip(ws, vs))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_smudging_hides_partial(setup):
     """A single partial decryption does not reveal the plaintext."""
     ctx, sks, pk = setup
