@@ -38,6 +38,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--optimizer", default="lbfgs",
+                    choices=["lbfgs", "adam"],
+                    help="lbfgs mirrors the reference attack "
+                         "(torch.optim.LBFGS, exp1.py)")
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(0)
@@ -66,7 +70,8 @@ def main(argv=None):
                                        protected_layers=protected)
         res = attack.dlg_attack(apply, params, grads, x.shape, n_cls,
                                 protected_layers=protected,
-                                steps=args.steps, lr=0.05, seed=1)
+                                steps=args.steps, lr=0.05, seed=1,
+                                optimizer=args.optimizer)
         gt = np.asarray(x)[0, ..., 0] if x.shape[-1] == 1 \
             else np.asarray(x)[0]
         rec = res.data[0, ..., 0] if x.shape[-1] == 1 else res.data[0]

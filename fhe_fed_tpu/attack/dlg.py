@@ -61,7 +61,8 @@ def dlg_attack(apply: Callable, params, target_grads: list,
                data_shape, n_classes: int,
                protected_layers: Sequence[int] = (),
                steps: int = 300, lr: float = 0.1, seed: int = 0,
-               record_every: int = 50) -> DLGResult:
+               record_every: int = 50,
+               optimizer: str = "adam") -> DLGResult:
     """Run the attack: optimize (dummy_data, dummy_label) so that
     grad(model; dummy) matches `target_grads` (code.py:482-531)."""
     treedef = jax.tree_util.tree_structure(params)
@@ -88,14 +89,27 @@ def dlg_attack(apply: Callable, params, target_grads: list,
         return sum(jnp.sum((gx - gy) ** 2)
                    for gx, gy in zip(leaves, target))
 
-    opt = optax.adam(lr)
-    opt_state = opt.init(dummy)
+    if optimizer == "lbfgs":
+        # the reference's own optimizer (code.py uses torch.optim.LBFGS);
+        # linesearch-driven, much better conditioned for grad matching.
+        opt = optax.lbfgs()
+        value_and_grad = optax.value_and_grad_from_state(match_loss)
 
-    @jax.jit
-    def step(d, s):
-        loss, g = jax.value_and_grad(match_loss)(d)
-        updates, s = opt.update(g, s, d)
-        return optax.apply_updates(d, updates), s, loss
+        @jax.jit
+        def step(d, s):
+            loss, g = value_and_grad(d, state=s)
+            updates, s = opt.update(g, s, d, value=loss, grad=g,
+                                    value_fn=match_loss)
+            return optax.apply_updates(d, updates), s, loss
+    else:
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def step(d, s):
+            loss, g = jax.value_and_grad(match_loss)(d)
+            updates, s = opt.update(g, s, d)
+            return optax.apply_updates(d, updates), s, loss
+    opt_state = opt.init(dummy)
 
     losses, history = [], []
     for i in range(steps):

@@ -45,6 +45,18 @@ def test_dlg_recovers_unprotected(target):
     assert res.losses[-1] < res.losses[0] * 1e-3
 
 
+def test_dlg_lbfgs_recovers(target):
+    """The reference's own optimizer (torch.optim.LBFGS, exp1.py) —
+    optax.lbfgs converges to near-exact reconstruction in fewer steps."""
+    params, apply, x, onehot = target
+    grads = attack.model_gradients(apply, params, x, onehot)
+    res = attack.dlg_attack(apply, params, grads, x.shape, N_CLS,
+                            steps=150, seed=1, optimizer="lbfgs")
+    assert int(np.argmax(res.label)) == 2
+    corr = np.corrcoef(res.data.reshape(-1), np.asarray(x).reshape(-1))[0, 1]
+    assert corr > 0.99, corr
+
+
 def test_dlg_fails_when_protected(target):
     """Zeroing the first layer's gradients (= encrypting it) breaks the
     reconstruction (code.py protected_layers sweep)."""
