@@ -30,7 +30,7 @@ DEFAULT_MODELS = ["linear", "tst", "mlp", "rnn_lstm", "cnn_fedavg"]
 
 def bench_model(name: str, n_clients: int, helper: CKKS,
                 seed: int = 0, use_bytes: bool = False,
-                reps: int = 1) -> dict:
+                reps: int = 1, max_chunks: int = 512) -> dict:
     spec = models.build(name, seed=seed)
     flat, _ = flatten_params(spec.params)
     n = flat.size
@@ -62,19 +62,53 @@ def bench_model(name: str, n_clients: int, helper: CKKS,
         # (through the remote-TPU tunnel it measures tunnel bandwidth).
         packed = helper.pack_cohort(clients)
         jax.block_until_ready(packed)
-        with t.phase("encrypt"):
-            cohorts = [helper.encrypt_cohort(packed) for _ in range(reps)]
-            jax.block_until_ready([c.data for c in cohorts])
-        cohort = cohorts[-1]
-        ct_bytes = helper.ct_wire_bytes(cohort)
-        with t.phase("aggregate"):
-            aggs = [helper.aggregate_cohort(c, weights) for c in cohorts]
-            jax.block_until_ready([a.data for a in aggs])
-        with t.phase("decrypt"):
-            devs = [helper.decrypt_cohort(a, raw=True) for a in aggs]
-            jax.block_until_ready(devs)
-        with t.phase("fetch"):
-            out = helper.unpack_values(devs[-1], n).astype(np.float32)
+        chunks = packed.shape[1]
+        if chunks <= max_chunks:
+            with t.phase("encrypt"):
+                cohorts = [helper.encrypt_cohort(packed)
+                           for _ in range(reps)]
+                jax.block_until_ready([c.data for c in cohorts])
+            cohort = cohorts[-1]
+            ct_bytes = helper.ct_wire_bytes(cohort)
+            with t.phase("aggregate"):
+                aggs = [helper.aggregate_cohort(c, weights)
+                        for c in cohorts]
+                jax.block_until_ready([a.data for a in aggs])
+            with t.phase("decrypt"):
+                devs = [helper.decrypt_cohort(a, raw=True) for a in aggs]
+                jax.block_until_ready(devs)
+            with t.phase("fetch"):
+                out = helper.unpack_values(devs[-1], n).astype(np.float32)
+        else:
+            # BERT-scale streaming: the chunk axis is padded to a multiple
+            # of max_chunks and pipelined slice by slice so peak device
+            # memory stays ~5x one slice's ciphertext (fedavg_round
+            # semantics) while every slice uses ONE compiled shape.
+            reps = 1
+            import jax.numpy as jnp
+            pad = (-chunks) % max_chunks
+            if pad:
+                packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
+            outs = []
+            bytes_per_chunk = None
+            for s in range(0, chunks + pad, max_chunks):
+                with t.phase("encrypt"):
+                    ct = helper.encrypt_cohort(packed[:, s:s + max_chunks])
+                    jax.block_until_ready(ct.data)
+                if bytes_per_chunk is None:
+                    bytes_per_chunk = helper.ct_wire_bytes(ct) / max_chunks
+                with t.phase("aggregate"):
+                    agg = helper.aggregate_cohort(ct, weights)
+                    jax.block_until_ready(agg.data)
+                with t.phase("decrypt"):
+                    dev = helper.decrypt_cohort(agg, raw=True)
+                    jax.block_until_ready(dev)
+                with t.phase("fetch"):
+                    outs.append(np.asarray(dev))
+            ct_bytes = int(bytes_per_chunk * chunks)
+            with t.phase("fetch"):
+                out = helper._unpack(np.concatenate(outs, axis=0),
+                                     n).astype(np.float32)
     err = float(np.max(np.abs(out - np.mean(np.stack(clients), axis=0))))
 
     phases = {k: (v / reps if k != "fetch" else v)
@@ -108,6 +142,9 @@ def main(argv=None):
                     help="rounds averaged per phase (cohort path only); "
                          "capped to 1 automatically for models whose "
                          "ciphertexts exceed ~1 GB to bound device memory")
+    ap.add_argument("--max-chunks", type=int, default=512,
+                    help="chunk-axis slice size for streaming large models "
+                         "(bounds peak device memory)")
     args = ap.parse_args(argv)
 
     keydir = os.path.join(results_dir(), "bench_keys")
@@ -132,10 +169,20 @@ def main(argv=None):
             if ct_gb * max(1, reps) > 1.0:
                 reps = 1
             if args.warmup:
-                bench_model(name, args.clients, helper,
-                            use_bytes=args.bytes)
+                if not args.bytes and chunks > args.max_chunks:
+                    # streamed models reuse ONE compiled slice shape:
+                    # warming a single slice excludes all compile time
+                    dummy = [np.zeros(args.max_chunks * helper.capacity,
+                                      np.float32)] * args.clients
+                    helper.fedavg_round(
+                        dummy, [1.0 / args.clients] * args.clients)
+                else:
+                    bench_model(name, args.clients, helper,
+                                use_bytes=args.bytes,
+                                max_chunks=args.max_chunks)
             r = bench_model(name, args.clients, helper,
-                            use_bytes=args.bytes, reps=reps)
+                            use_bytes=args.bytes, reps=reps,
+                            max_chunks=args.max_chunks)
             r["init"] = init_s
             results.append(r)
             append_jsonl("model_bench.jsonl", r)

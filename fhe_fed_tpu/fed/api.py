@@ -264,10 +264,33 @@ class CKKS(Scheme):
         return data.nbytes + ckks_serial.CT_HEADER_BYTES
 
     def fedavg_round(self, client_vectors, scaling_factors,
-                     data_dimensions: int | None = None) -> np.ndarray:
-        """One full secure-FedAvg round, device-resident end to end."""
+                     data_dimensions: int | None = None,
+                     max_chunks: int | None = None) -> np.ndarray:
+        """One full secure-FedAvg round, device-resident end to end.
+
+        max_chunks bounds device memory for BERT-scale models (SURVEY.md
+        §7 host<->device feed: 26k chunks would need >12 GB of ciphertext
+        plus encrypt intermediates in one dispatch): the chunk axis is
+        padded to a multiple of max_chunks and streamed slice by slice
+        through encrypt -> aggregate -> decrypt, so exactly ONE program
+        shape is compiled and peak memory is ~5x one slice's ciphertext."""
         dims = (int(data_dimensions) if data_dimensions is not None
                 else int(np.asarray(client_vectors[0]).size))
-        ct = self.encrypt_cohort(client_vectors)
-        agg = self.aggregate_cohort(ct, scaling_factors)
-        return self.decrypt_cohort(agg, dims)
+        packed = client_vectors if (
+            isinstance(client_vectors, jnp.ndarray)
+            and client_vectors.ndim == 3) else self._pack_cohort(
+                client_vectors)
+        chunks = packed.shape[1]
+        if max_chunks is None or chunks <= max_chunks:
+            ct = self.encrypt_cohort(packed)
+            agg = self.aggregate_cohort(ct, scaling_factors)
+            return self.decrypt_cohort(agg, dims)
+        pad = (-chunks) % max_chunks
+        if pad:
+            packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
+        outs = []
+        for s in range(0, chunks + pad, max_chunks):
+            ct = self.encrypt_cohort(packed[:, s:s + max_chunks])
+            agg = self.aggregate_cohort(ct, scaling_factors)
+            outs.append(np.asarray(self.decrypt_cohort(agg, raw=True)))
+        return self._unpack(np.concatenate(outs, axis=0), dims)
