@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from fhe_fed_tpu.ckks import params as P
 from fhe_fed_tpu.ckks import keys as K
+from fhe_fed_tpu.ckks import keyswitch as KS
 from fhe_fed_tpu.ckks import ops as O
 from fhe_fed_tpu.ckks import threshold as T
 from .common import append_jsonl
@@ -66,6 +67,13 @@ def run_threshold(model_size: int, client_size: int, ctx,
     sks, pk = T.multiparty_keygen(ctx, client_size, seed=1)
     t_keygen = time.time() - t0
 
+    # joint eval-mult key: the two-round MultiKeySwitchGen /
+    # MultiMultEvalKey / MultiAddEvalMultKeys ceremony (mkhe.cpp:281-317)
+    t0 = time.time()
+    rlk = T.multiparty_relin_key(ctx, sks, common_seed=2, seed=1)
+    jax.block_until_ready(rlk.b)
+    t_evalkey = time.time() - t0
+
     rng = np.random.default_rng(1)
     v = rng.standard_normal(model_size).astype(np.float32)
     vals = _chunk(v, batch, ctx.ring_dim)
@@ -81,6 +89,13 @@ def run_threshold(model_size: int, client_size: int, ctx,
     jax.block_until_ready(h.data)
     t_eval = time.time() - t0
 
+    # ct x ct + relinearize under the JOINT key (exceeds the reference's
+    # scalar-only circuit; proves the joint relin key at these params)
+    t0 = time.time()
+    sq = O.rescale(ctx, KS.mul_ct(ctx, ct, ct, rlk))
+    jax.block_until_ready(sq.data)
+    t_mul_relin = time.time() - t0
+
     t0 = time.time()
     parts = [T.partial_decrypt_lead(ctx, sks[0], h, jax.random.key(10))]
     parts += [T.partial_decrypt_main(ctx, sk, h, jax.random.key(11 + i))
@@ -89,7 +104,9 @@ def run_threshold(model_size: int, client_size: int, ctx,
     t_dec = time.time() - t0
     err = np.abs(out[:, :batch].reshape(-1)[:model_size] - v).max()
     return {"mode": "threshold", "parties": client_size,
-            "keygen": t_keygen, "encrypt": t_enc, "eval": t_eval,
+            "keygen": t_keygen, "joint_evalkey": t_evalkey,
+            "encrypt": t_enc, "eval": t_eval,
+            "mul_relin_joint": t_mul_relin,
             "decrypt": t_dec, "max_err": float(err)}
 
 
