@@ -265,7 +265,7 @@ class CKKS(Scheme):
 
     def fedavg_round(self, client_vectors, scaling_factors,
                      data_dimensions: int | None = None,
-                     max_chunks: int | None = None) -> np.ndarray:
+                     max_chunks: int | None = 1024) -> np.ndarray:
         """One full secure-FedAvg round, device-resident end to end.
 
         max_chunks bounds device memory for BERT-scale models (SURVEY.md
@@ -273,7 +273,9 @@ class CKKS(Scheme):
         plus encrypt intermediates in one dispatch): the chunk axis is
         padded to a multiple of max_chunks and streamed slice by slice
         through encrypt -> aggregate -> decrypt, so exactly ONE program
-        shape is compiled and peak memory is ~5x one slice's ciphertext."""
+        shape is compiled and peak memory is ~5x one slice's ciphertext.
+        The default (1024) keeps any model size within a few GB of device
+        memory; pass None to force a single dispatch."""
         dims = (int(data_dimensions) if data_dimensions is not None
                 else int(np.asarray(client_vectors[0]).size))
         packed = client_vectors if (
