@@ -143,17 +143,18 @@ def _make_decode_consts(moduli: tuple[int, ...], live: int) -> DecodeConsts:
         m_digits[l] = digits(M)
     punc_inv = np.array(punc_inv, dtype=np.uint32)
     kq_digits = np.stack([digits(k * Q) for k in range(live + 1)])
+    # Host (numpy) leaves; make_context batches the whole context to the
+    # device in one transfer (utils/devput.py).
     return DecodeConsts(
         live=live,
         ndig=ndig,
-        punc_inv=jnp.asarray(punc_inv),
-        punc_inv_shoup=jnp.asarray(modops.shoup_precompute(
-            punc_inv, np.array(qs, dtype=np.uint32))),
-        m_digits=jnp.asarray(m_digits),
-        kq_digits=jnp.asarray(kq_digits),
-        q_digits=jnp.asarray(digits(Q)),
-        inv_q_f32=jnp.asarray(np.array([1.0 / q for q in qs],
-                                       dtype=np.float32)),
+        punc_inv=punc_inv,
+        punc_inv_shoup=modops.shoup_precompute(
+            punc_inv, np.array(qs, dtype=np.uint32)),
+        m_digits=m_digits,
+        kq_digits=kq_digits,
+        q_digits=digits(Q),
+        inv_q_f32=np.array([1.0 / q for q in qs], dtype=np.float32),
     )
 
 
@@ -181,12 +182,17 @@ class CkksContext:
         return self.params.num_limbs
 
 
-def make_context(params: CkksParams) -> CkksContext:
+def make_context(params: CkksParams, materialize: bool = True) -> CkksContext:
+    """Build the device-resident context. All constants are generated as
+    numpy and shipped to the device in ONE batched transfer — per-array
+    transfers cost a ~50 ms control round-trip each on remote-attached TPUs,
+    and the context has ~40 constant arrays (the reference's whole Init is
+    0.16-0.20 s, nvidia_results.txt)."""
     n = params.ring_dim
     moduli = params.moduli
     L = len(moduli)
     qs = np.array(moduli, dtype=np.uint32)
-    tb = ntt_tables.make_tables(n, moduli)
+    tb = ntt_tables.make_tables(n, moduli, materialize=False)
     mu = np.array([modops.barrett_precompute(q) for q in moduli],
                   dtype=np.uint32)
     pow32 = np.array([(1 << 32) % q for q in moduli], dtype=np.uint32)
@@ -203,20 +209,20 @@ def make_context(params: CkksParams) -> CkksContext:
         qt = moduli[t]
         inv = np.array([pow(qt % q, q - 2, q) for q in moduli[:t]],
                        dtype=np.uint32)
-        rescale.append((
-            jnp.asarray(inv),
-            jnp.asarray(modops.shoup_precompute(inv, qs[:t])),
-        ))
-    return CkksContext(
+        rescale.append((inv, modops.shoup_precompute(inv, qs[:t])))
+    ctx = CkksContext(
         params=params,
         tables=tb,
-        q=jnp.asarray(qs),
-        mu=jnp.asarray(mu),
-        pow32=jnp.asarray(pow32),
-        pow32_shoup=jnp.asarray(modops.shoup_precompute(pow32, qs)),
-        enc_pow=jnp.asarray(enc_pow),
-        enc_pow_shoup=jnp.asarray(
-            modops.shoup_precompute(enc_pow, qs[None, :])),
+        q=qs,
+        mu=mu,
+        pow32=pow32,
+        pow32_shoup=modops.shoup_precompute(pow32, qs),
+        enc_pow=enc_pow,
+        enc_pow_shoup=modops.shoup_precompute(enc_pow, qs[None, :]),
         dec_consts=dec_consts,
         rescale_inv=tuple(rescale),
     )
+    if materialize:
+        from ..utils.devput import device_materialize
+        ctx = device_materialize(ctx)
+    return ctx

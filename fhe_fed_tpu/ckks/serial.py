@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from .params import CkksContext
 from .keys import SecretKey, PublicKey
 from .ops import Ciphertext
+from ..utils.devput import device_materialize
 
 _CT_MAGIC = b"FFTC"
 _KEY_MAGIC = b"FFTK"
@@ -75,8 +76,7 @@ def _unpack_key_arrays(blob: bytes, want_kind: int):
         raise ValueError("not a matching fhe_fed_tpu key blob")
     flat = np.frombuffer(blob, dtype="<u4", offset=_KEY_HDR.size)
     n = flat.size // (count * L)
-    return [jnp.asarray(a.reshape(L, n))
-            for a in np.split(flat, count)]
+    return [a.reshape(L, n) for a in np.split(flat, count)]
 
 
 def serialize_secret_key(ctx: CkksContext, sk: SecretKey) -> bytes:
@@ -85,7 +85,7 @@ def serialize_secret_key(ctx: CkksContext, sk: SecretKey) -> bytes:
 
 def deserialize_secret_key(blob: bytes) -> SecretKey:
     s, s_shoup = _unpack_key_arrays(blob, 0)
-    return SecretKey(s=s, s_shoup=s_shoup)
+    return device_materialize(SecretKey(s=s, s_shoup=s_shoup))
 
 
 def serialize_public_key(ctx: CkksContext, pk: PublicKey) -> bytes:
@@ -95,4 +95,5 @@ def serialize_public_key(ctx: CkksContext, pk: PublicKey) -> bytes:
 
 def deserialize_public_key(blob: bytes) -> PublicKey:
     p0, p0s, p1, p1s = _unpack_key_arrays(blob, 1)
-    return PublicKey(p0=p0, p0_shoup=p0s, p1=p1, p1_shoup=p1s)
+    return device_materialize(
+        PublicKey(p0=p0, p0_shoup=p0s, p1=p1, p1_shoup=p1s))

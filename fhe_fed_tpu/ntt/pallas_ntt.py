@@ -133,23 +133,25 @@ def make_stage_tables(ring_dim: int, moduli, tab_np: np.ndarray,
         itwB.append(_expand_b(itab_np, n, n // (2 * t), t))
         t *= 2
 
+    # Host (numpy) leaves: callers materialize the whole table set to the
+    # device in one batched transfer (utils/devput.py) — per-array transfers
+    # cost a ~50 ms round-trip each on remote-attached TPUs.
     def dev(stages):
         arr = np.stack(stages, axis=1)                     # (L, S, ...)
-        return jnp.asarray(arr), jnp.asarray(
-            shoup_precompute(arr, qs[:, None, None, None]))
+        return arr, shoup_precompute(arr, qs[:, None, None, None])
 
     twA, twA_sh = dev(twA)
     twB, twB_sh = dev(twB)
     itwA, itwA_sh = dev(itwA)
     itwB, itwB_sh = dev(itwB)
-    ninv = ninv_np.reshape(-1, 1)
+    ninv = np.ascontiguousarray(ninv_np.reshape(-1, 1))
     return NttStageTables(
         ring_dim=n,
         twA=twA, twA_sh=twA_sh, twB=twB, twB_sh=twB_sh,
         itwB=itwB, itwB_sh=itwB_sh, itwA=itwA, itwA_sh=itwA_sh,
-        ninv=jnp.asarray(ninv),
-        ninv_sh=jnp.asarray(shoup_precompute(ninv, qs[:, None])),
-        q2d=jnp.asarray(qs[:, None]))
+        ninv=ninv,
+        ninv_sh=shoup_precompute(ninv, qs[:, None]),
+        q2d=np.ascontiguousarray(qs[:, None]))
 
 
 def _fwd_kernel(x_ref, twA_ref, twAs_ref, twB_ref, twBs_ref, q_ref, o_ref,

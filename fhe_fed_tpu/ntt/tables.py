@@ -71,7 +71,25 @@ class NttTables:
         )
 
 
-def make_tables(ring_dim: int, moduli: tuple[int, ...]) -> NttTables:
+def _pow_table(base: int, q: int, n: int) -> np.ndarray:
+    """base**k mod q for k in [0, n), by numpy log-doubling.
+
+    base, q < 2**31 so every product fits uint64 exactly; log2(n) vectorized
+    steps replace the n-iteration Python big-int loop.
+    """
+    pw = np.ones(1, dtype=np.uint64)
+    b = np.uint64(base % q)
+    qq = np.uint64(q)
+    while pw.size < n:
+        pw = np.concatenate([pw, (pw * b) % qq])
+        b = (b * b) % qq
+    return pw[:n]
+
+
+def make_tables(ring_dim: int, moduli: tuple[int, ...],
+                materialize: bool = True) -> NttTables:
+    """materialize=False returns host (numpy) leaves so a caller building a
+    larger context can batch everything into one device transfer."""
     n = ring_dim
     bits = n.bit_length() - 1
     assert 1 << bits == n, "ring_dim must be a power of two"
@@ -79,32 +97,31 @@ def make_tables(ring_dim: int, moduli: tuple[int, ...]) -> NttTables:
     tab = np.zeros((L, n), dtype=np.uint32)
     itab = np.zeros((L, n), dtype=np.uint32)
     ninv = np.zeros((L,), dtype=np.uint32)
-    brv = [_bitrev(k, bits) for k in range(n)]
+    # Vectorized bit-reversal permutation.
+    brv = np.zeros(n, dtype=np.int64)
+    x = np.arange(n, dtype=np.int64)
+    for _ in range(bits):
+        brv = (brv << 1) | (x & 1)
+        x >>= 1
     for l, q in enumerate(moduli):
         psi = primes_mod.primitive_root_2n(q, n)
         ipsi = pow(psi, q - 2, q)
-        # Power tables via repeated squaring on exact ints.
-        pw = np.empty(n, dtype=np.uint64)
-        ipw = np.empty(n, dtype=np.uint64)
-        x = 1
-        y = 1
-        for k in range(n):
-            pw[k] = x
-            ipw[k] = y
-            x = x * psi % q
-            y = y * ipsi % q
-        tab[l] = pw[brv].astype(np.uint32)
-        itab[l] = ipw[brv].astype(np.uint32)
+        tab[l] = _pow_table(psi, q, n)[brv].astype(np.uint32)
+        itab[l] = _pow_table(ipsi, q, n)[brv].astype(np.uint32)
         ninv[l] = pow(n, q - 2, q)
     qs = np.asarray(moduli, dtype=np.uint32)
-    return NttTables(
+    out = NttTables(
         ring_dim=n,
-        q=jnp.asarray(qs),
-        tab=jnp.asarray(tab),
-        tab_shoup=jnp.asarray(modops.shoup_precompute(tab, qs[:, None])),
-        itab=jnp.asarray(itab),
-        itab_shoup=jnp.asarray(modops.shoup_precompute(itab, qs[:, None])),
-        ninv=jnp.asarray(ninv),
-        ninv_shoup=jnp.asarray(modops.shoup_precompute(ninv, qs)),
+        q=qs,
+        tab=tab,
+        tab_shoup=modops.shoup_precompute(tab, qs[:, None]),
+        itab=itab,
+        itab_shoup=modops.shoup_precompute(itab, qs[:, None]),
+        ninv=ninv,
+        ninv_shoup=modops.shoup_precompute(ninv, qs),
         stages=pallas_ntt.make_stage_tables(n, moduli, tab, itab, ninv),
     )
+    if materialize:
+        from ..utils.devput import device_materialize
+        out = device_materialize(out)
+    return out

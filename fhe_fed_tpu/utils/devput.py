@@ -1,0 +1,69 @@
+"""Single-RPC host->device materialization of constant pytrees.
+
+On a remote-attached TPU every fresh-shaped host->device transfer pays a
+~50 ms control round-trip, independent of size (measured: 10 tiny
+`device_put`s cost 0.54 s; one 16 KB transfer costs 0.05 s). A CKKS context
+holds ~40 small constant arrays (twiddle tables, Shoup companions, decode
+digit planes, ...), so materializing it leaf-by-leaf costs over a second —
+the reference loads its whole context in 0.16-0.20 s (nvidia_results.txt).
+
+`device_materialize` flattens every array leaf into ONE uint32 buffer,
+ships it in a single transfer, and slices it back apart inside one jitted
+unpack computation (cached by the persistent compilation cache across
+processes). Warm init therefore costs one transfer + one cached-executable
+run instead of ~40 round-trips.
+
+All framework constants are 4-byte lanes (uint32 residues / float32
+reciprocals) by design — the TPU has no 64-bit integer units — so a uint32
+wire buffer with a bitcast for float leaves is lossless.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def device_materialize(tree, device=None):
+    """Return `tree` with every array leaf resident on `device`, shipped in
+    one host->device transfer + one jitted unpack.
+
+    Leaves must be numpy / JAX arrays with 4-byte element types (uint32,
+    int32, float32). Non-array static fields of registered dataclasses are
+    preserved by the treedef.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    specs = []
+    host = []
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        if a.dtype.itemsize != 4:
+            raise TypeError(
+                f"device_materialize: {a.dtype} leaf (need 4-byte lanes)")
+        specs.append((a.dtype, a.shape, int(a.size)))
+        host.append(np.ascontiguousarray(a).view(np.uint32).ravel())
+    flat = np.concatenate(host) if len(host) > 1 else host[0]
+
+    # Fresh jit object per call: the unpack layout lives in the closure, so a
+    # shared cache keyed only on buffer shape could alias two different
+    # layouts. The persistent compilation cache still dedupes identical
+    # layouts across calls/processes (it keys on the HLO itself).
+    @jax.jit
+    def unpack(buf):
+        out = []
+        off = 0
+        for dt, sh, sz in specs:
+            seg = jax.lax.slice(buf, (off,), (off + sz,))
+            off += sz
+            if dt != np.uint32:
+                seg = jax.lax.bitcast_convert_type(seg, dt)
+            out.append(seg.reshape(sh))
+        return tuple(out)
+
+    buf = jnp.asarray(flat)
+    if device is not None:
+        buf = jax.device_put(buf, device)
+    return jax.tree_util.tree_unflatten(treedef, unpack(buf))
