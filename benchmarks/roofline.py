@@ -84,6 +84,14 @@ def main(argv=None):
         1 write)."""
         t_s = timeit(fn, x_s)
         t_b = timeit(fn, x_b)
+        # Validity guard: a constant-folded / cached measurement produces
+        # t_big <= t_small (round 2 shipped one such garbage row). Refuse to
+        # log non-physical numbers.
+        if not (t_b > t_s > 0):
+            print(f"{name:28s} INVALID measurement "
+                  f"(t_small={t_s*1e3:.3f} ms, t_big={t_b*1e3:.3f} ms) — "
+                  "timed fn was constant-folded or cached; row NOT emitted")
+            return
         slope = (t_b - t_s) / (c_big - c_small)       # s per chunk
         bytes_per_chunk = rw_factor * bpc
         gbs = bytes_per_chunk / slope / 1e9

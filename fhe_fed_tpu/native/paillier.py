@@ -161,6 +161,15 @@ class PaillierSecretKey:
         a, b = h.split(":")
         return cls(lam=int(a, 16), mu=int(b, 16))
 
+    @classmethod
+    def from_reference_hex(cls, h: str, n: int):
+        """Import libpaillier's hex format: lambda ONLY
+        (paillier_prvkey_to_hex, reference paillier.c:304-306). With
+        g = n + 1 (paillier.c:45), L(g^lam mod n^2) = lam mod n, so
+        mu = lam^-1 mod n is derived rather than stored."""
+        lam = int(h.strip(), 16)
+        return cls(lam=lam, mu=pow(lam, -1, n))
+
 
 def keygen(bits: int = 2048) -> tuple[PaillierPublicKey, PaillierSecretKey]:
     """Textbook Paillier keygen with g = n + 1 (paillier.c:58-114)."""
