@@ -82,6 +82,25 @@ class DistNttTables:
     i2: tuple
     i2_shoup: tuple
 
+    def slice_limbs(self, lo: int, hi: int) -> "DistNttTables":
+        """Tables restricted to limbs [lo, hi) — every table leads with L."""
+        def s(x):
+            return x[lo:hi]
+
+        def st(t):
+            return tuple(x[lo:hi] for x in t)
+        return DistNttTables(
+            ring_dim=self.ring_dim, n1=self.n1, n2=self.n2,
+            q=s(self.q),
+            twist=s(self.twist), twist_shoup=s(self.twist_shoup),
+            untwist=s(self.untwist), untwist_shoup=s(self.untwist_shoup),
+            mid=s(self.mid), mid_shoup=s(self.mid_shoup),
+            imid=s(self.imid), imid_shoup=s(self.imid_shoup),
+            f1=st(self.f1), f1_shoup=st(self.f1_shoup),
+            i1=st(self.i1), i1_shoup=st(self.i1_shoup),
+            f2=st(self.f2), f2_shoup=st(self.f2_shoup),
+            i2=st(self.i2), i2_shoup=st(self.i2_shoup))
+
 
 def _cyclic_stage_tables(size: int, omega: int, q: int):
     """GS-forward and CT-inverse stage twiddles for a size-`size` cyclic DFT.

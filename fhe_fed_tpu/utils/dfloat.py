@@ -10,9 +10,14 @@ Branch-free Knuth/Dekker algorithms; no FMA required.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
-_SPLITTER = jnp.float32(4097.0)  # 2**12 + 1 for f32 Veltkamp split
+# numpy scalar, NOT a jnp array: a module-level device constant would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize() in multi-process runs (it must run before
+# any backend contact) — and would capture a device buffer into Pallas
+# kernels.
+_SPLITTER = np.float32(4097.0)  # 2**12 + 1 for f32 Veltkamp split
 
 
 def two_sum(a, b):
