@@ -149,12 +149,26 @@ def main(argv=None):
 
     keydir = os.path.join(results_dir(), "bench_keys")
     os.makedirs(keydir, exist_ok=True)
-    t0 = time.time()
     helper = CKKS("ckks", args.batch, args.bits, cryptodir=keydir,
                   symmetric=not args.pk)
-    helper.genCryptoContextAndKeyGen()
+    # Warm init path (VERDICT r2 item 6): generate keys only if no persisted
+    # set exists (cold, reported separately), then time the reference's
+    # measured Init op — loadCryptoParams from files (ckks.cpp:11-23) plus
+    # context materialization.
+    t0 = time.time()
+    try:
+        helper.loadCryptoParams()
+        keygen_s = 0.0
+    except (FileNotFoundError, ValueError):
+        helper.genCryptoContextAndKeyGen()
+        keygen_s = time.time() - t0
+    t0 = time.time()
+    _ = helper.ctx
     helper.loadCryptoParams()
     init_s = time.time() - t0
+    if keygen_s:
+        print(f"cold keygen+persist: {keygen_s:.2f}s (one-time; warm init "
+              f"{init_s:.3f}s)")
 
     txt_path = os.path.join(results_dir(), "model_results.txt")
     results = []

@@ -106,6 +106,22 @@ def main(argv=None):
         emit(f"ntt_mxu_{dt}", jax.jit(lambda x: mxu.ntt_mxu(x, mt)))
         emit(f"intt_mxu_{dt}", jax.jit(lambda x: mxu.intt_mxu(x, mt)))
 
+    from fhe_fed_tpu.ntt import mxu_pallas as MP
+    for dt in ("int8", "bf16", "f32"):
+        if f"pallas_{dt}" not in variants:
+            continue
+        got = np.asarray(MP.ntt_mxu_fused(x_s[:2], mt, dtype=dt))
+        assert np.array_equal(got, np.asarray(ntt_mod.ntt(x_s[:2], tb))), \
+            f"fused {dt} fwd mismatch on device!"
+        gi = np.asarray(MP.intt_mxu_fused(jnp.asarray(got), mt, dtype=dt))
+        assert np.array_equal(gi, np.asarray(ntt_mod.intt(jnp.asarray(got),
+                                                          tb))), \
+            f"fused {dt} inv mismatch on device!"
+        emit(f"ntt_mxu_pallas_{dt}",
+             jax.jit(lambda x, d=dt: MP.ntt_mxu_fused(x, mt, dtype=d)))
+        emit(f"intt_mxu_pallas_{dt}",
+             jax.jit(lambda x, d=dt: MP.intt_mxu_fused(x, mt, dtype=d)))
+
 
 if __name__ == "__main__":
     main()

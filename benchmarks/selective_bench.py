@@ -35,8 +35,7 @@ def main(argv=None):
     keydir = os.path.join(results_dir(), "bench_keys")
     os.makedirs(keydir, exist_ok=True)
     helper = CKKS("ckks", args.batch, args.bits, cryptodir=keydir)
-    helper.genCryptoContextAndKeyGen()
-    helper.loadCryptoParams()
+    helper.load_or_gen()          # warm: loads the persisted key set
 
     spec = models.build(args.model)
     rng = np.random.default_rng(0)

@@ -183,6 +183,73 @@ def decrypt_dist(ctx: CkksContext, dt: D.DistNttTables, ds: D.DistSpec,
 
 
 # ---------------------------------------------------------------------------
+# Galois automorphism (rotation data movement) under coefficient sharding
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _dist_auto_perms(n: int, n1: int, g: int):
+    """Index maps of X -> X^g in the dist-eval layout (r, c).
+
+    Position (r, c) holds the evaluation at psi^(2k+1), k = rev1(r) +
+    N1*rev2(c). The automorphism pulls from source slot k_src = g*k +
+    (g-1)/2 mod N, which SEPARATES over the layout:
+
+        k1_src = (g*k1 + t) mod N1            -- depends on the ROW only
+        k2_src = (g*k2 + carry(k1)) mod N2    -- column map, row-dependent
+
+    so the whole data movement is ONE permutation of the (sharded) row axis
+    plus a LOCAL row-dependent column gather. Returns (row_perm (N1,),
+    col_perm (N1, N2)) with out[r, c] = in[row_perm[r], col_perm[r, c]].
+    """
+    from .keyswitch import _bitrev
+    n2 = n // n1
+    b1 = n1.bit_length() - 1
+    b2 = n2.bit_length() - 1
+    t = (g - 1) // 2 % n
+    row_perm = np.empty(n1, dtype=np.int32)
+    col_perm = np.empty((n1, n2), dtype=np.int32)
+    for r in range(n1):
+        k1 = _bitrev(r, b1)
+        for c in range(n2):
+            k2 = _bitrev(c, b2)
+            k = k1 + n1 * k2
+            k_src = (g * k + t) % n
+            r_src = _bitrev(k_src % n1, b1)
+            c_src = _bitrev(k_src // n1, b2)
+            row_perm[r] = r_src          # invariant in c (checked below)
+            col_perm[r, c] = c_src
+    # sanity: the row map really is column-independent
+    for r in range(n1):
+        k1 = _bitrev(r, b1)
+        assert _bitrev((g * k1 + t) % n1, b1) == row_perm[r]
+    return row_perm, col_perm
+
+
+def dist_automorphism(x: jnp.ndarray, g: int, dt: D.DistNttTables,
+                      ds: D.DistSpec) -> jnp.ndarray:
+    """Apply X -> X^g to dist-eval-layout data (..., L, N1, N2).
+
+    The column gather is local to each shard; the row permutation crosses
+    the sharded axis and lowers to one collective (GSPMD chooses
+    collective-permute / all-gather for the static row gather — the
+    rotation's ONLY cross-device data movement). The expensive half of a
+    rotation — the key switch — is coefficient-wise per limb in the eval
+    domain (digit decomposition across limbs x key multiplication), so it
+    needs NO cross-coefficient communication at all beyond the NTTs this
+    module already shards; only this permutation moves data between
+    devices. Parity: keyswitch.automorphism / EvalAtIndex data movement
+    (mkhe.cpp:122-124 rotations).
+    """
+    row_perm, col_perm = _dist_auto_perms(dt.ring_dim, dt.n1, int(g))
+    x = jax.lax.with_sharding_constraint(x, ds.row_sharding(x.ndim))
+    y = jnp.take(x, jnp.asarray(row_perm), axis=-2)       # cross-shard
+    y = jnp.take_along_axis(
+        y, jnp.asarray(col_perm)[(None,) * (y.ndim - 2)].astype(jnp.int32),
+        axis=-1)                                          # local
+    return jax.lax.with_sharding_constraint(y, ds.row_sharding(x.ndim))
+
+
+# ---------------------------------------------------------------------------
 # The full round
 # ---------------------------------------------------------------------------
 

@@ -66,8 +66,15 @@ class CKKS(Scheme):
         self._ctx = None
         self._sk = None
         self._pk = None
+        # Hot-path sampling PRNG: on TPU default to 'rbg' (XLA
+        # RngBitGenerator — the device-side seed-expansion PRG, ~1.5x
+        # faster encryption than threefry; PALISADE likewise expands a/e
+        # from a seeded DUG, ckks.cpp RLWE sampling). Override with
+        # FHE_FED_TPU_PRNG=threefry2x32 for the partitionable default.
+        impl = os.environ.get("FHE_FED_TPU_PRNG") or (
+            "rbg" if jax.default_backend() == "tpu" else "threefry2x32")
         self._rng = jax.random.key(
-            secrets.randbits(63) if seed is None else seed)
+            secrets.randbits(63) if seed is None else seed, impl=impl)
 
     # -- context / key lifecycle ------------------------------------------
 

@@ -196,27 +196,43 @@ class MxuNttTables:
 
 
 def make_mxu_tables(ring_dim: int, moduli: tuple[int, ...],
-                    n1: int | None = None) -> MxuNttTables:
+                    n1: int | None = None,
+                    materialize: bool = True) -> MxuNttTables:
     """Default split keeps BOTH local DFT sizes <= 128 (plane-sum bound):
-    near-square, N2 >= N1."""
+    near-square, N2 >= N1.
+
+    materialize=False returns host (numpy) leaves so a caller building a
+    larger context (ckks.params.make_context) can batch everything into one
+    device transfer."""
     if n1 is None:
         half_bits = (ring_dim.bit_length() - 1) // 2
         n1 = 1 << half_bits
     h = _host_build(ring_dim, tuple(int(m) for m in moduli), n1)
     qs = h["q"]
-
-    def sh(w, qb):
-        return jnp.asarray(modops.shoup_precompute(w, qb))
-
-    return MxuNttTables(
+    sh = modops.shoup_precompute
+    out = MxuNttTables(
         ring_dim=ring_dim, n1=n1, n2=ring_dim // n1,
-        q=jnp.asarray(qs),
-        r1f=jnp.asarray(h["r1f"]), r2f=jnp.asarray(h["r2f"]),
-        r1i=jnp.asarray(h["r1i"]), r2i=jnp.asarray(h["r2i"]),
-        midf=jnp.asarray(h["midf"]), midf_shoup=sh(h["midf"], qs[:, None, None]),
-        midi=jnp.asarray(h["midi"]), midi_shoup=sh(h["midi"], qs[:, None, None]),
-        c32=jnp.asarray(h["c32"]), c32_shoup=sh(h["c32"], qs),
-        offm=jnp.asarray(h["offm"]))
+        q=qs,
+        r1f=h["r1f"], r2f=h["r2f"], r1i=h["r1i"], r2i=h["r2i"],
+        midf=h["midf"], midf_shoup=sh(h["midf"], qs[:, None, None]),
+        midi=h["midi"], midi_shoup=sh(h["midi"], qs[:, None, None]),
+        c32=h["c32"], c32_shoup=sh(h["c32"], qs),
+        offm=h["offm"])
+    if materialize:
+        from ..utils.devput import device_materialize
+        out = device_materialize(out)
+    return out
+
+
+def mxu_viable(ring_dim: int, n1: int | None = None) -> bool:
+    """True when the four-step digit-plane decomposition's bounds hold for
+    this ring (both local DFT sizes <= 128)."""
+    if n1 is None:
+        half_bits = (ring_dim.bit_length() - 1) // 2
+        n1 = 1 << half_bits
+    n2 = ring_dim // n1
+    return (n1 * n2 == ring_dim and n1 >= 2 and n2 >= 2
+            and max(n1, n2) <= 128)
 
 
 # ---------------------------------------------------------------------------

@@ -34,14 +34,25 @@ _MAX_B_SPAN = 64  # butterfly spans <= this run in transposed layout
 
 
 def _use_fused(tb: NttTables) -> bool:
-    """Opt-in (FHE_FED_TPU_PALLAS=1) fused Pallas kernels on TPU.
+    """Opt-in (FHE_FED_TPU_PALLAS=1) fused Pallas BUTTERFLY kernels on TPU.
 
     Off by default: measured on v5e, XLA's per-stage pipeline beats the fused
     kernels (fwd 2.4 ms vs 3.8 ms, inv 0.8 ms vs 15.8 ms on a (407, 4, 8192)
     batch) — the transform is VPU-bound, XLA already overlaps HBM traffic
     well, and the in-VMEM transposes Mosaic emits are costly. Kept as an
-    alternative backend + for future MXU-based variants."""
+    alternative backend. (The MXU digit-plane kernel below is a different
+    story — it moves the multiplies off the VPU entirely and wins 5x.)"""
     if tb.stages is None or not os.environ.get("FHE_FED_TPU_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _use_mxu(tb: NttTables) -> bool:
+    """Default-ON on TPU: the fused MXU digit-plane four-step kernel
+    (ntt/mxu_pallas.py) — measured 0.48 ms fwd / 0.67 ms inv per
+    (204, 5, 8192) batch vs 2.63 / 3.25 ms for the butterfly network
+    (results/mxu_ntt.jsonl), bit-exact. Opt out: FHE_FED_TPU_NO_MXU=1."""
+    if tb.mxu is None or os.environ.get("FHE_FED_TPU_NO_MXU"):
         return False
     return jax.default_backend() == "tpu"
 
@@ -83,6 +94,9 @@ def ntt(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
     n = tb.ring_dim
     L = tb.q.shape[0]
     assert x.shape[-1] == n and x.shape[-2] == L, (x.shape, L, n)
+    if _use_mxu(tb):
+        from . import mxu_pallas
+        return mxu_pallas.ntt_mxu_fused(x, tb.mxu)
     if _use_fused(tb):
         return pallas_ntt.ntt_fused(x, tb.stages)
     batch = x.shape[:-2]
@@ -153,6 +167,9 @@ def intt(x: jnp.ndarray, tb: NttTables) -> jnp.ndarray:
     n = tb.ring_dim
     L = tb.q.shape[0]
     assert x.shape[-1] == n and x.shape[-2] == L, (x.shape, L, n)
+    if _use_mxu(tb):
+        from . import mxu_pallas
+        return mxu_pallas.intt_mxu_fused(x, tb.mxu)
     if _use_fused(tb):
         return pallas_ntt.intt_fused(x, tb.stages)
     batch = x.shape[:-2]

@@ -50,6 +50,11 @@ class NttTables:
     # Per-stage expanded twiddles for the fused Pallas kernels (None when the
     # ring is too small to fuse; the jnp path is used then).
     stages: pallas_ntt.NttStageTables | None = None
+    # Digit-plane matrices for the fused MXU four-step kernel
+    # (ntt/mxu_pallas.py) — the default TPU transform (5x the butterfly's
+    # throughput, measured). None when the ring violates the four-step
+    # bounds (mxu.mxu_viable).
+    mxu: object = None
 
     @property
     def num_limbs(self) -> int:
@@ -68,6 +73,7 @@ class NttTables:
             ninv_shoup=self.ninv_shoup[lo:hi],
             stages=(None if self.stages is None
                     else self.stages.slice_limbs(lo, hi)),
+            mxu=(None if self.mxu is None else self.mxu.slice_limbs(lo, hi)),
         )
 
 
@@ -110,6 +116,9 @@ def make_tables(ring_dim: int, moduli: tuple[int, ...],
         itab[l] = _pow_table(ipsi, q, n)[brv].astype(np.uint32)
         ninv[l] = pow(n, q - 2, q)
     qs = np.asarray(moduli, dtype=np.uint32)
+    from . import mxu as mxu_mod         # deferred: mxu imports _bitrev
+    mxu_tb = (mxu_mod.make_mxu_tables(n, tuple(moduli), materialize=False)
+              if mxu_mod.mxu_viable(n) else None)
     out = NttTables(
         ring_dim=n,
         q=qs,
@@ -120,6 +129,7 @@ def make_tables(ring_dim: int, moduli: tuple[int, ...],
         ninv=ninv,
         ninv_shoup=modops.shoup_precompute(ninv, qs),
         stages=pallas_ntt.make_stage_tables(n, moduli, tab, itab, ninv),
+        mxu=mxu_tb,
     )
     if materialize:
         from ..utils.devput import device_materialize

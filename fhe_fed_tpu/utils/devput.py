@@ -40,11 +40,22 @@ def device_materialize(tree, device=None):
     host = []
     for leaf in leaves:
         a = np.asarray(leaf)
-        if a.dtype.itemsize != 4:
+        if a.dtype.itemsize == 4:
+            specs.append((a.dtype, a.shape, int(a.size), int(a.size)))
+            host.append(np.ascontiguousarray(a).view(np.uint32).ravel())
+        elif a.dtype.itemsize == 1:
+            # 1-byte leaves (int8 digit-plane matrices): pad to a 4-byte
+            # boundary on the wire, bitcast back apart on device.
+            raw = np.ascontiguousarray(a).view(np.uint8).ravel()
+            pad = (-raw.size) % 4
+            if pad:
+                raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
+            specs.append((a.dtype, a.shape, int(a.size), raw.size // 4))
+            host.append(raw.view(np.uint32))
+        else:
             raise TypeError(
-                f"device_materialize: {a.dtype} leaf (need 4-byte lanes)")
-        specs.append((a.dtype, a.shape, int(a.size)))
-        host.append(np.ascontiguousarray(a).view(np.uint32).ravel())
+                f"device_materialize: {a.dtype} leaf (need 1- or 4-byte "
+                "lanes)")
     flat = np.concatenate(host) if len(host) > 1 else host[0]
 
     # Fresh jit object per call: the unpack layout lives in the closure, so a
@@ -55,10 +66,12 @@ def device_materialize(tree, device=None):
     def unpack(buf):
         out = []
         off = 0
-        for dt, sh, sz in specs:
-            seg = jax.lax.slice(buf, (off,), (off + sz,))
-            off += sz
-            if dt != np.uint32:
+        for dt, sh, sz, words in specs:
+            seg = jax.lax.slice(buf, (off,), (off + words,))
+            off += words
+            if dt.itemsize == 1:
+                seg = jax.lax.bitcast_convert_type(seg, dt).reshape(-1)[:sz]
+            elif dt != np.uint32:
                 seg = jax.lax.bitcast_convert_type(seg, dt)
             out.append(seg.reshape(sh))
         return tuple(out)

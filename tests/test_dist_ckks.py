@@ -105,6 +105,29 @@ def test_sharded_round_bit_exact_vs_onchip(setup):
     assert err < 1e-3, err
 
 
+def test_dist_automorphism_matches_onchip(setup):
+    """Rotation data movement under coefficient sharding: the dist-layout
+    automorphism (one sharded row permutation + a local column gather) must
+    match the on-chip eval-domain automorphism bit-exactly for rotation and
+    conjugation elements."""
+    from fhe_fed_tpu.ckks import keyswitch as KS
+    params, ctx, sk, sk_d, dt, ds = setup
+    n = params.ring_dim
+    chain = params.chain_len
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, min(params.moduli[:chain]),
+                     size=(2, chain, n)).astype(np.uint32)
+    x_dist = jnp.asarray(D.eval_to_dist(x, dt.n1))
+    for g in (KS.galois_element(1, n), KS.galois_element(5, n),
+              KS.conj_element(n)):
+        want = np.asarray(KS.automorphism(jnp.asarray(x), n, g))
+        with ds.mesh:
+            got_d = jax.jit(
+                lambda v, gg=g: DC.dist_automorphism(v, gg, dt, ds))(x_dist)
+            got_d = np.asarray(jax.block_until_ready(got_d))
+        np.testing.assert_array_equal(D.dist_to_eval(got_d), want)
+
+
 def test_full_step_and_collectives(setup):
     """make_dist_fed_step end-to-end + the all-to-all is actually in the
     compiled HLO (the NTT stage exchange rides one collective)."""
