@@ -267,6 +267,13 @@ def cfg5_pod_fedavg(cpu: bool = False):
         eff = t_1 / (t_n * ndev)
         extra = {"t_1dev_s": round(t_1, 4), "n_devices": ndev,
                  "scaling_efficiency": round(eff, 3)}
+    if ndev == 1:
+        # Do NOT read this as the BASELINE.json north-star pod measurement:
+        # that target is a v5p-16 multi-chip run this container cannot make.
+        extra = {"note": "single-chip datum — NOT the multi-chip pod "
+                         "target (v5p-16 unavailable here); see "
+                         "results/scaling_virtual.jsonl for the weak-"
+                         "scaling methodology stub"}
     _emit("pod_fedavg_1M_64clients", t_n, "s", max_err=err,
           params_per_s=round(n_params / t_n, 1),
           config={"n_params": n_params, "n_clients": n_clients},

@@ -120,6 +120,11 @@ def main(argv=None):
     params = P.make_params(batch=batch, scale_bits=51, mult_depth=2)
     ctx = P.make_context(params)
 
+    # Warmup pass compiles everything (untimed — the reference's mkhe is AOT
+    # C++, mkhe.cpp:64-90 chrono around already-compiled calls), then the
+    # measured pass runs with warm executables.
+    run_single_key(model_size, ctx, batch)
+    run_threshold(model_size, client_size, ctx, batch)
     single = run_single_key(model_size, ctx, batch)
     multi = run_threshold(model_size, client_size, ctx, batch)
     for r in (single, multi):

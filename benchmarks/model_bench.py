@@ -170,7 +170,9 @@ def main(argv=None):
         print(f"cold keygen+persist: {keygen_s:.2f}s (one-time; warm init "
               f"{init_s:.3f}s)")
 
-    txt_path = os.path.join(results_dir(), "model_results.txt")
+    txt_path = os.path.join(
+        results_dir(),
+        "model_results_bytes.txt" if args.bytes else "model_results.txt")
     results = []
     with open(txt_path, "w") as f:
         for i, name in enumerate(args.models):

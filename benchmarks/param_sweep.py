@@ -67,6 +67,12 @@ def run_config(batch_size: int, scaling_bits: int, model_name: str,
     with t.phase("init"):
         _ = helper.ctx
         helper.loadCryptoParams()
+    # Untimed warmup round: excludes XLA compile from the measured phases
+    # (the reference's PALISADE is AOT C++ — its timings contain no
+    # compilation either; persistent cache makes this cheap on reruns).
+    _w = helper.decrypt(helper.computeWeightedAverage(
+        [helper.encrypt(f) for f in flats],
+        weights), flats[0].size)
     with t.phase("encrypt"):
         blobs = [helper.encrypt(f) for f in flats]
     ct_bytes = sum(len(b) for b in blobs)

@@ -51,6 +51,9 @@ def main(argv=None):
         policy = SelectivePolicy(rate=rate)
         # measure ciphertext bytes of one client's upload at this rate
         enc_n = policy.enc_count(n)
+        # untimed warmup: exclude XLA compile (reference is AOT C++)
+        helper.encrypt(np.asarray(flat[:enc_n]))
+        fhe_fedavg(helper, clients, weights, policy=policy)
         t0 = time.time()
         blob = helper.encrypt(np.asarray(flat[:enc_n]))
         enc_s = time.time() - t0

@@ -91,11 +91,27 @@ def decode_coeff(ctx: CkksContext, residues: jnp.ndarray,
                  scale: float) -> jnp.ndarray:
     """Decode residues (..., live, N) in coefficient order -> f32 (..., N).
 
-    Exact CRT + two-float division by `scale` (any positive float)."""
+    Exact CRT + two-float division by `scale` (any positive float). On TPU
+    the standard (chunks, live, N) layout routes to the fused Pallas kernel
+    (ckks/pallas_decode.py) — same arithmetic, one HBM pass instead of ~10;
+    opt out with FHE_FED_TPU_NO_FUSED_DECODE=1."""
+    import os
+    import jax
     live = residues.shape[-2]
     dc: DecodeConsts = ctx.dec_consts[live - 1]
+    if (residues.ndim == 3 and jax.default_backend() == "tpu"
+            and not os.environ.get("FHE_FED_TPU_NO_FUSED_DECODE")):
+        from . import pallas_decode
+        return pallas_decode.decode_fused(ctx, dc, residues, float(scale))
+    return decode_core(dc, ctx.q[:live], residues, scale)
+
+
+def decode_core(dc: DecodeConsts, qs, residues: jnp.ndarray,
+                scale: float) -> jnp.ndarray:
+    """The decode arithmetic on plain arrays — runs identically under XLA
+    and inside the Pallas kernel."""
+    live = residues.shape[-2]
     nd = dc.ndig
-    qs = ctx.q[:live]
 
     y = modops.mul_mod_shoup(
         residues, dc.punc_inv[:, None], dc.punc_inv_shoup[:, None],

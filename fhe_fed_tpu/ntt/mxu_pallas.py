@@ -134,12 +134,18 @@ def _call(x, mt: MxuNttTables, forward: bool, dtype: str,
         interpret = jax.default_backend() != "tpu"
     B, L, n = x.shape
     n1, n2 = mt.n1, mt.n2
-    bc = _BC
-    while B % bc:
-        bc //= 2
+    # Pad the batch axis up to a block multiple: without this an odd chunk
+    # count collapses the block to 1 poly/grid-cell (measured: resnet18's
+    # 1427-chunk encrypt ran 10x slow before padding).
+    bc = min(_BC, max(8, B))
+    pad = (-B) % bc
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, L, n), dtype=x.dtype)], axis=0)
+    Bp = B + pad
     mid = mt.midf if forward else mt.midi
     mids = mt.midf_shoup if forward else mt.midi_shoup
-    grid = (B // bc,)
+    grid = (Bp // bc,)
 
     def sspec():
         return pl.BlockSpec((L, 1), lambda ib: (0, 0),
@@ -164,13 +170,14 @@ def _call(x, mt: MxuNttTables, forward: bool, dtype: str,
         ],
         out_specs=pl.BlockSpec((bc, L, n), lambda ib: (ib, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, L, n), _U32),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, n), _U32),
         interpret=interpret,
     )
-    return fn(mt.q.reshape(L, 1), mt.c32.reshape(L, 1),
-              mt.c32_shoup.reshape(L, 1), mt.offm.reshape(L, 1),
-              x, mt.r1f if forward else mt.r1i,
-              mt.r2f if forward else mt.r2i, mid, mids)
+    out = fn(mt.q.reshape(L, 1), mt.c32.reshape(L, 1),
+             mt.c32_shoup.reshape(L, 1), mt.offm.reshape(L, 1),
+             x, mt.r1f if forward else mt.r1i,
+             mt.r2f if forward else mt.r2i, mid, mids)
+    return out[:B] if pad else out
 
 
 def ntt_mxu_fused(x: jnp.ndarray, mt: MxuNttTables, dtype: str = "int8",

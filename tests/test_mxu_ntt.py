@@ -88,6 +88,25 @@ def test_negacyclic_product_via_mxu():
         np.testing.assert_array_equal(got[0, l], ref)
 
 
+@pytest.mark.parametrize("batch", [1, 3, 8, 19])
+def test_fused_kernel_matches_butterfly(batch):
+    """The fused Pallas kernel (interpret mode on CPU) must be bit-exact,
+    including batch sizes that require block padding."""
+    from fhe_fed_tpu.ntt import mxu_pallas as MP
+    n, L = 512, 2
+    mod = primes.ntt_primes(n, L)
+    tb = tables_mod.make_tables(n, mod)
+    mt = mxu.make_mxu_tables(n, tuple(mod))
+    rng = np.random.default_rng(batch)
+    x = jnp.asarray(rng.integers(0, np.array(mod)[:, None],
+                                 size=(batch, L, n)).astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(MP.ntt_mxu_fused(x, mt)),
+                                  np.asarray(ntt_mod.ntt(x, tb)))
+    xe = ntt_mod.ntt(x, tb)
+    np.testing.assert_array_equal(np.asarray(MP.intt_mxu_fused(xe, mt)),
+                                  np.asarray(ntt_mod.intt(xe, tb)))
+
+
 def test_slice_limbs():
     mod, tb, mt, x = _setup(256, 4, seed=4)
     sub = mt.slice_limbs(1, 3)
