@@ -91,16 +91,18 @@ def decode_coeff(ctx: CkksContext, residues: jnp.ndarray,
                  scale: float) -> jnp.ndarray:
     """Decode residues (..., live, N) in coefficient order -> f32 (..., N).
 
-    Exact CRT + two-float division by `scale` (any positive float). On TPU
-    the standard (chunks, live, N) layout routes to the fused Pallas kernel
-    (ckks/pallas_decode.py) — same arithmetic, one HBM pass instead of ~10;
-    opt out with FHE_FED_TPU_NO_FUSED_DECODE=1."""
+    Exact CRT + two-float division by `scale` (any positive float). The
+    XLA path is the default everywhere: the hand-fused Pallas kernel
+    (ckks/pallas_decode.py) measured SLOWER on TPU (3.17 ms vs 1.41 ms per
+    (204,4,8192) batch after the k*Q-multiply rewrite below) — XLA's own
+    fusion schedules this elementwise chain better than a 17 MB-scoped
+    kernel. Opt in with FHE_FED_TPU_FUSED_DECODE=1."""
     import os
     import jax
     live = residues.shape[-2]
     dc: DecodeConsts = ctx.dec_consts[live - 1]
     if (residues.ndim == 3 and jax.default_backend() == "tpu"
-            and not os.environ.get("FHE_FED_TPU_NO_FUSED_DECODE")):
+            and os.environ.get("FHE_FED_TPU_FUSED_DECODE")):
         from . import pallas_decode
         return pallas_decode.decode_fused(ctx, dc, residues, float(scale))
     return decode_core(dc, ctx.q[:live], residues, scale)
@@ -118,7 +120,10 @@ def decode_core(dc: DecodeConsts, qs, residues: jnp.ndarray,
         qs[:, None])                                    # (..., live, N)
 
     # k = round(sum y_l / q_l): exact because |v| << Q (see module doc).
-    fsum = jnp.sum(y.astype(_F32) * dc.inv_q_f32[:, None], axis=-2)
+    # u32 -> i32 -> f32: exact (y < q < 2**31) and Mosaic has no direct
+    # uint32->float32 cast.
+    fsum = jnp.sum(y.astype(_I32).astype(_F32) * dc.inv_q_f32[:, None],
+                   axis=-2)
     k = jnp.round(fsum).astype(_I32)                    # (..., N), 0..live
 
     # Digit-plane accumulation of sum_l y_l * M_l; every partial is < 2**16
@@ -139,14 +144,16 @@ def decode_core(dc: DecodeConsts, qs, residues: jnp.ndarray,
             if d + 2 < nd:
                 planes[d + 2] = planes[d + 2] + (p2 >> 16)
 
-    # w = acc + Q - k*Q  (>= 0, exact). Select k*Q digits TPU-style with
-    # where-sums rather than a gather.
+    # w = acc + Q - k*Q  (>= 0, exact). k*Q's digit d is k * q_digits[d]
+    # NON-normalized (< 2**21: k <= live+1, digit < 2**16) — the carry
+    # propagation below renormalizes, since
+    # sum_d (k * q_digits[d]) * 2**(16d) = k*Q exactly. This replaces the
+    # former (live+1) x nd where-select of precomputed k*Q digit tables
+    # with nd multiplies.
     out_digits = []
     carry = jnp.zeros_like(k)
     for d in range(nd):
-        kq_d = jnp.zeros_like(k)
-        for j in range(live + 1):
-            kq_d = jnp.where(k == j, dc.kq_digits[j, d].astype(_I32), kq_d)
+        kq_d = k * dc.q_digits[d].astype(_I32)
         r = planes[d].astype(_I32) + dc.q_digits[d].astype(_I32) - kq_d + carry
         out_digits.append(r & _I32(0xFFFF))
         carry = r >> 16

@@ -1,15 +1,15 @@
-"""Fused Pallas kernel for the exact-CRT CKKS decode.
+"""Fused Pallas kernel for the exact-CRT CKKS decode — OPT-IN, measured
+slower than the default XLA path.
 
-After the MXU NTT landed, decode became the largest single kernel of the
-decrypt phase (~1.06 ms of the 1.52 ms device decrypt at the headline
-shape — see docs/ROOFLINE.md). The decode arithmetic (encoding.decode_core)
-is ~10 elementwise passes over (chunks, live, N) when XLA materializes the
-digit planes in HBM; this kernel runs the IDENTICAL arithmetic per
-chunk-block entirely in VMEM: one read of the residues, one write of the
-f32 coefficients.
-
-The decode constants (puncture inverses, 16-bit digit planes of Q/q_l,
-k*Q, Q) are tiny and ride along as VMEM blocks.
+Hypothesis was that decode (the largest kernel of decrypt after the MXU
+NTT landed) pays ~10 HBM passes for its digit planes and would win from a
+single-VMEM-residency kernel. Measured on v5e at the headline shape
+(204, 4, 8192): XLA 1.41 ms, this kernel 3.17 ms — XLA's fusion already
+keeps the chain in registers/VMEM, while this kernel's ~2 MB/poly of live
+digit-plane temporaries forces a 17 MB scoped-VMEM footprint (bc=8) that
+kills pipelining. Kept for the record and enabled with
+FHE_FED_TPU_FUSED_DECODE=1; it is bit-exact vs the XLA path
+(tests/test_pallas_decode.py).
 
 Reference parity: GetRealPackedValue / plaintext decode (ckks.cpp:198-204),
 with the exact-integer CRT of encoding.py.
@@ -28,7 +28,12 @@ from .params import CkksContext, DecodeConsts
 
 _U32 = jnp.uint32
 
-_BC = 16          # chunk-polys per grid cell
+# Chunk-polys per grid cell. Mosaic requires the output block's
+# second-to-last dim divisible by 8, and the kernel keeps ~10 digit planes
+# plus y_lo/y_hi temporaries live per poly (~2 MB/poly at live=4, N=8192),
+# so 8 polys needs ~17 MB of scoped VMEM — above the 16 MB default limit;
+# vmem_limit_bytes below raises it (v5e has 128 MB VMEM).
+_BC = 8
 
 
 def _kernel(res_ref, q_ref, pinv_ref, pinv_sh_ref, m_ref, kq_ref, qd_ref,
@@ -47,7 +52,7 @@ def decode_fused(ctx: CkksContext, dc: DecodeConsts, residues: jnp.ndarray,
     """residues: (chunks, live, N) u32 -> (chunks, N) f32."""
     B, live, n = residues.shape
     qs = ctx.q[:live]
-    bc = min(_BC, max(8, B))
+    bc = _BC
     pad = (-B) % bc
     if pad:
         residues = jnp.concatenate(
@@ -77,6 +82,8 @@ def decode_fused(ctx: CkksContext, dc: DecodeConsts, residues: jnp.ndarray,
         out_specs=pl.BlockSpec((bc, n), lambda ib: (ib, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )
     out = fn(residues, qs, dc.punc_inv, dc.punc_inv_shoup, dc.m_digits,
