@@ -147,3 +147,60 @@ def test_full_step_and_collectives(setup):
         hlo = step.lower(sk_d, values, jax.random.key(3)) \
                   .compile().as_text()
     assert "all-to-all" in hlo, "NTT stage exchange must be an all-to-all"
+
+
+def test_sharded_round_n65536():
+    """The ring that genuinely exceeds one chip: at N=65536 the working set
+    of one NTT batch at production limb counts (~chunks x L x 256 KiB
+    x several plane temporaries) no longer fits a single chip's VMEM, so
+    the ('limb','coeff') layout is the deployment layout, not an option.
+    Same bit-exactness contract as the N=32768 round above, one chunk to
+    keep the CPU-mesh run fast."""
+    params = P.make_params(batch=4096, scale_bits=40, mult_depth=1,
+                           ring_dim=65536)
+    ctx = P.make_context(params)
+    sk, _pk = K.keygen(ctx, seed=3)
+    dt = D.make_dist_tables(params.ring_dim,
+                            params.moduli[:params.chain_len])
+    mesh = _mesh(2, 4)
+    ds = D.DistSpec(mesh=mesh, limb_axis="limb")
+    sk_d = DC.sk_to_dist(sk, dt.n1)
+
+    n = params.ring_dim
+    chain = params.chain_len
+    Kc, chunks = 2, 1
+    weights = [0.75, 0.25]
+    rng = np.random.default_rng(65536)
+    values = jnp.asarray(rng.standard_normal((Kc, chunks, n))
+                         .astype(np.float32) * 0.1)
+
+    with ds.mesh:
+        flat = values.reshape(Kc * chunks, n)
+        cts_d = jax.block_until_ready(DC.encrypt_symmetric_dist(
+            ctx, dt, ds, sk_d, flat, jax.random.key(11),
+            float(params.scale)))
+    stacked_d = cts_d.reshape(Kc, chunks, *cts_d.shape[1:])
+
+    dscale = float(params.moduli[chain - 1])
+    res_l, shoup_l = zip(*(E.encode_scalar(params.moduli[:chain], w, dscale)
+                           for w in weights))
+    w_res = jnp.asarray(np.stack(res_l))
+    w_shoup = jnp.asarray(np.stack(shoup_l))
+
+    with ds.mesh:
+        agg_d = DC.weighted_sum_dist(ctx, stacked_d, w_res, w_shoup)
+        res_d = DC.rescale_dist(ctx, dt, ds, agg_d)
+        dec_d = np.asarray(jax.block_until_ready(
+            DC.decrypt_dist(ctx, dt, ds, sk_d, res_d, float(params.scale))))
+
+    stacked_oc = DC.ct_dist_to_onchip(np.asarray(stacked_d))
+    ct_oc = O.Ciphertext(data=jnp.asarray(stacked_oc),
+                         scale=float(params.scale), level=0)
+    res_oc = O.rescale(ctx, O.weighted_sum(ctx, ct_oc, weights))
+    np.testing.assert_array_equal(
+        DC.ct_dist_to_onchip(np.asarray(res_d)), np.asarray(res_oc.data))
+    np.testing.assert_array_equal(dec_d, np.asarray(O.decrypt(ctx, sk,
+                                                              res_oc)))
+    want = np.tensordot(np.asarray(weights),
+                        np.asarray(values, dtype=np.float64), axes=1)
+    assert np.max(np.abs(dec_d - want)) < 1e-3
