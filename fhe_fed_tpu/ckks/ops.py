@@ -150,6 +150,80 @@ def encrypt_symmetric(ctx: CkksContext, sk: SecretKey, values: jnp.ndarray,
     return Ciphertext(data=data, scale=scale, level=0)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SeededCiphertext:
+    """A FRESH secret-key ciphertext with c1 elided: c1 = -a where a is
+    expanded from the 64-bit threefry seed carried alongside c0. Halves
+    the client->server upload (the RLWE seed-compression standard trick,
+    e.g. Kyber's seed-expanded public matrix) — a capability the
+    reference's PALISADE wire format does not offer. Only fresh
+    encryptions compress this way: homomorphic results have non-seedable
+    c1, so the server expands on arrival and aggregates as usual.
+
+    The seed is threefry2x32 key data — JAX's threefry stream is
+    platform-deterministic, so a ciphertext sealed on a CPU client expands
+    bit-identically on the TPU server (the 'rbg' session PRNG is NOT used
+    here for exactly that reason)."""
+    c0: jnp.ndarray                                      # (chunks, live, N)
+    seed: jnp.ndarray                                    # (2,) uint32
+    scale: float = dataclasses.field(metadata=dict(static=True))
+    level: int = dataclasses.field(metadata=dict(static=True))
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _encrypt_sym_seeded_impl(ctx: CkksContext, sk: SecretKey,
+                             values: jnp.ndarray, a_key, e_key,
+                             scale: float) -> jnp.ndarray:
+    """c0 of the secret-key ciphertext, with `a` drawn from a_key: the
+    SAME construction as _encrypt_sym_impl, split so the a-stream is
+    reproducible from wire-carried key data."""
+    chunks, n = values.shape
+    L = ctx.params.chain_len
+    q = ctx.q[:L]
+    qb = q[:, None]
+    tb = ctx.tables.slice_limbs(0, L)
+    pt = encoding.encode_coeff(ctx, values, scale)
+    e = lift_signed(cbd_coeffs(e_key, (chunks, n)), q)
+    w_hat = ntt_mod.ntt(modops.add_mod(pt, e, qb), tb)
+    a_hat = uniform_mod_q(a_key, (chunks, L, n), ctx)
+    return modops.add_mod(
+        modops.mul_mod_shoup(a_hat, sk.s[:L], sk.s_shoup[:L], qb),
+        w_hat, qb)
+
+
+def encrypt_symmetric_seeded(ctx: CkksContext, sk: SecretKey,
+                             values: jnp.ndarray, rng_key,
+                             scale: float | None = None) -> SeededCiphertext:
+    """Secret-key encrypt of (chunks, N) f32 with c1 elided (half-size
+    wire blobs; see SeededCiphertext). rng_key may be any PRNG impl; the
+    wire seed is always threefry."""
+    scale = float(ctx.params.scale if scale is None else scale)
+    seed = jax.random.bits(rng_key, (2,), jnp.uint32)
+    a_key = jax.random.wrap_key_data(seed, impl="threefry2x32")
+    e_key = jax.random.fold_in(rng_key, 0x5eed)
+    c0 = _encrypt_sym_seeded_impl(ctx, sk, values, a_key, e_key, scale)
+    return SeededCiphertext(c0=c0, seed=seed, scale=scale, level=0)
+
+
+@jax.jit
+def _expand_seeded_impl(ctx: CkksContext, c0: jnp.ndarray,
+                        seed: jnp.ndarray) -> jnp.ndarray:
+    chunks, L, n = c0.shape
+    qb = ctx.q[:L][:, None]
+    a_key = jax.random.wrap_key_data(seed, impl="threefry2x32")
+    a_hat = uniform_mod_q(a_key, (chunks, L, n), ctx)
+    return jnp.stack([c0, modops.neg_mod(a_hat, qb)], axis=1)
+
+
+def expand_seeded(ctx: CkksContext, sct: SeededCiphertext) -> Ciphertext:
+    """Server-side: rebuild the full (c0, c1) ciphertext from (c0, seed).
+    One uniform expansion per ciphertext — the same cost the encryptor
+    paid, so aggregation throughput is unchanged."""
+    data = _expand_seeded_impl(ctx, sct.c0, sct.seed)
+    return Ciphertext(data=data, scale=sct.scale, level=sct.level)
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _encrypt_sym_stacked_impl(ctx: CkksContext, sk: SecretKey,
                               values: jnp.ndarray, rng_key,

@@ -23,10 +23,11 @@ import jax.numpy as jnp
 
 from .params import CkksContext
 from .keys import SecretKey, PublicKey
-from .ops import Ciphertext
+from .ops import Ciphertext, SeededCiphertext, expand_seeded
 from ..utils.devput import device_materialize
 
 _CT_MAGIC = b"FFTC"
+_SCT_MAGIC = b"FFTS"
 _KEY_MAGIC = b"FFTK"
 _VER = 1
 _CT_HDR = struct.Struct("<4sHIIHIIHd")
@@ -58,6 +59,42 @@ def deserialize_ct(ctx: CkksContext, blob: bytes) -> Ciphertext:
     arr = np.frombuffer(blob, dtype="<u4", offset=_CT_HDR.size)
     arr = arr.reshape(chunks, 2, live, n)
     return Ciphertext(data=jnp.asarray(arr), scale=scale, level=level)
+
+
+def serialize_seeded_ct(ctx: CkksContext, sct: SeededCiphertext) -> bytes:
+    """Seed-compressed fresh ciphertext: header | seed u32[2] | c0 payload.
+    Half the bytes of serialize_ct (c1 is expanded from the seed
+    server-side; see ops.SeededCiphertext)."""
+    c0 = np.asarray(sct.c0)
+    chunks, live, n = c0.shape
+    hdr = _CT_HDR.pack(_SCT_MAGIC, _VER, ctx.ring_dim, ctx.params.batch,
+                       ctx.params.scale_bits, chunks, live, sct.level,
+                       float(sct.scale))
+    seed = np.ascontiguousarray(np.asarray(sct.seed), dtype="<u4")
+    return hdr + seed.tobytes() + \
+        np.ascontiguousarray(c0, dtype="<u4").tobytes()
+
+
+def deserialize_seeded_ct(ctx: CkksContext, blob: bytes) -> SeededCiphertext:
+    magic, ver, ring_dim, batch, scale_bits, chunks, live, level, scale = \
+        _CT_HDR.unpack_from(blob, 0)
+    if magic != _SCT_MAGIC or ver != _VER:
+        raise ValueError("not a fhe_fed_tpu seeded-ciphertext blob")
+    if ring_dim != ctx.ring_dim or scale_bits != ctx.params.scale_bits:
+        raise ValueError("seeded ciphertext params do not match context")
+    seed = np.frombuffer(blob, dtype="<u4", offset=_CT_HDR.size, count=2)
+    c0 = np.frombuffer(blob, dtype="<u4", offset=_CT_HDR.size + 8)
+    c0 = c0.reshape(chunks, live, ring_dim)
+    return SeededCiphertext(c0=jnp.asarray(c0), seed=jnp.asarray(seed),
+                            scale=scale, level=level)
+
+
+def deserialize_any_ct(ctx: CkksContext, blob: bytes) -> Ciphertext:
+    """Dispatch on magic: full ciphertexts pass through, seed-compressed
+    fresh ciphertexts are expanded to full (c0, c1) on this side."""
+    if blob[:4] == _SCT_MAGIC:
+        return expand_seeded(ctx, deserialize_seeded_ct(ctx, blob))
+    return deserialize_ct(ctx, blob)
 
 
 def _pack_key_arrays(kind: int, ring_dim: int, arrays: list[np.ndarray]) -> bytes:

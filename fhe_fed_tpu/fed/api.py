@@ -49,7 +49,8 @@ class CKKS(Scheme):
                  scaleFactorBits: int = 52,
                  cryptodir: str = "../resources/cryptoparams/",
                  mult_depth: int = 1, dense_pack: bool = False,
-                 symmetric: bool = False, seed: int | None = None):
+                 symmetric: bool = False, seeded_fresh: bool = False,
+                 seed: int | None = None):
         super().__init__(scheme)
         self.batchSize = int(batchSize)
         self.scaleFactorBits = int(scaleFactorBits)
@@ -60,6 +61,13 @@ class CKKS(Scheme):
         # 4). Identical ciphertexts/noise; valid because every learner holds
         # sk in this protocol (they decrypt — ckks.cpp:11-23,189).
         self.symmetric = bool(symmetric)
+        # seeded_fresh=True (implies symmetric): client uploads carry
+        # (c0, 64-bit seed) instead of (c0, c1) — HALF the wire bytes; the
+        # server expands c1 = -PRG(seed) on arrival (ops.SeededCiphertext).
+        # computeWeightedAverage accepts both formats regardless.
+        self.seeded_fresh = bool(seeded_fresh)
+        if self.seeded_fresh:
+            self.symmetric = True
         self._params = ckks_params.make_params(
             batch=self.batchSize, scale_bits=self.scaleFactorBits,
             mult_depth=self.mult_depth)
@@ -157,6 +165,10 @@ class CKKS(Scheme):
             raise RuntimeError("call loadCryptoParams() or "
                                "genCryptoContextAndKeyGen() first")
         flat = np.asarray(data_array).reshape(-1)
+        if self.seeded_fresh and self._sk is not None:
+            sct = ckks_ops.encrypt_symmetric_seeded(
+                self.ctx, self._sk, self._pack(flat), self._next_key())
+            return ckks_serial.serialize_seeded_ct(self.ctx, sct)
         if self.symmetric and self._sk is not None:
             ct = ckks_ops.encrypt_symmetric(self.ctx, self._sk,
                                             self._pack(flat), self._next_key())
@@ -171,7 +183,8 @@ class CKKS(Scheme):
         if len(learner_data) != len(scaling_factors):
             raise ValueError(
                 "Error: learner_data and scaling_factors size mismatch")
-        cts = [ckks_serial.deserialize_ct(self.ctx, b) for b in learner_data]
+        cts = [ckks_serial.deserialize_any_ct(self.ctx, b)
+               for b in learner_data]
         agg = ckks_ops.weighted_sum(self.ctx, cts,
                                     [float(s) for s in scaling_factors])
         return ckks_serial.serialize_ct(self.ctx, agg)
