@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -51,6 +52,13 @@ def _emit(name, value, unit, **extra):
             "backend": jax.default_backend()}
     line.update(extra)
     print(json.dumps(line), flush=True)
+    # Always persist (round-3 fix: the r2 file only existed because stdout
+    # happened to be redirected; an unredirected run silently lost results).
+    from .common import results_dir
+    path = os.path.join(results_dir(),
+                        f"baseline_configs_{jax.default_backend()}.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps(line) + "\n")
 
 
 def cfg1_ckks_example():
