@@ -31,8 +31,11 @@ parity only; ~10x smaller and zero-parse).
 
 Caveats mirrored from the reference (documented, not silently fixed):
 the ring wraps at 2^num_bits, so correctness needs
-|sum_i fix(x_i)| < 2^(num_bits-1); unmasking assumes ALL learners
-participated (dropout unhandled, PaillierUtils.cpp:692).
+|sum_i fix(x_i)| < 2^(num_bits-1). The reference's dropout hole
+(unmasking assumes ALL learners participated, PaillierUtils.cpp:692;
+SURVEY §5.3) IS fixed here, beyond-reference: recoverRandomnessSubset +
+decrypt(subset=...) re-derive the survivor-subset mask sum from the
+retained encrypted offline blobs.
 """
 
 from __future__ import annotations
@@ -217,14 +220,42 @@ class Masking(Scheme):
         return self._ctx.ct_to_bytes(acc)
 
     def decryptRandomnessSum(self, blob: bytes, params: int,
-                             iteration: int) -> None:
-        """Key-holder: decrypt mask sum, persist for unmasking."""
+                             iteration: int,
+                             subset: list[int] | None = None) -> None:
+        """Key-holder: decrypt mask sum, persist for unmasking.
+
+        `subset` names the participating learner indices when the sum was
+        re-computed over a survivor subset (dropout recovery, see
+        recover below); the file is suffixed so the full-cohort sum is
+        kept alongside."""
         assert self._ctx is not None and self._ctx.sk is not None
         blocks = self._ctx.decrypt(self._ctx.ct_from_bytes(blob))
         vals = unpack_values(blocks, params, self.learners, self.num_bits,
                              self.modulus_bits)
         r_sum = (vals & self._ring_mask).astype(np.uint32)
-        np.save(self._rand_path(iteration, "learner_rand_sum.npy"), r_sum)
+        np.save(self._rand_path(iteration, self._sum_name(subset)), r_sum)
+
+    @staticmethod
+    def _sum_name(subset: list[int] | None) -> str:
+        if subset is None:
+            return "learner_rand_sum.npy"
+        tag = "_".join(str(i) for i in sorted(subset))
+        return f"learner_rand_sum_s{tag}.npy"
+
+    def recoverRandomnessSubset(self, blobs: list[bytes], params: int,
+                                iteration: int, subset: list[int]) -> None:
+        """Client-dropout recovery — a capability the reference's protocol
+        lacks (unmaskParams assumes ALL learners present,
+        PaillierUtils.cpp:692; SURVEY §5.3 calls this out as a real gap of
+        mask-based aggregation). The aggregator retains each learner's
+        Paillier-ENCRYPTED offline randomness blob, so when only `subset`
+        participates online it re-sums exactly those blobs homomorphically
+        and the key-holder decrypts that subset sum; unmasking then uses
+        it via decrypt(..., subset=...). No learner interaction is needed
+        at recovery time — dropout costs one extra Paillier add/decrypt
+        round on the host, nothing on the TPU online path."""
+        sub_blob = self.addPaillierRandOffline([blobs[i] for i in subset])
+        self.decryptRandomnessSum(sub_blob, params, iteration, subset=subset)
 
     # -- online phase ------------------------------------------------------
 
@@ -252,14 +283,18 @@ class Masking(Scheme):
         return np.asarray(out).astype("<u4").tobytes()
 
     def decrypt(self, data: bytes, data_dimensions: int,
-                iteration: int = 0) -> np.ndarray:
-        """Unmask + decode (unmaskParams, cpp:621-701)."""
-        r_sum = np.load(self._rand_path(iteration, "learner_rand_sum.npy"))
+                iteration: int = 0,
+                subset: list[int] | None = None) -> np.ndarray:
+        """Unmask + decode (unmaskParams, cpp:621-701). With `subset`,
+        unmasks a survivor-subset round using the sum persisted by
+        recoverRandomnessSubset and averages over the survivors."""
+        r_sum = np.load(self._rand_path(iteration, self._sum_name(subset)))
         v = np.frombuffer(data, dtype="<u4")[:data_dimensions]
         unmasked = (v + r_sum[:data_dimensions]) & self._ring_mask
         out = fixed_point_decode(jnp.asarray(unmasked), self.num_bits,
                                  self.precision_bits,
-                                 divide_by=self.learners)
+                                 divide_by=(self.learners if subset is None
+                                            else len(subset)))
         return np.asarray(out, dtype=np.float64)
 
 

@@ -128,3 +128,40 @@ def test_weight_count_mismatch(tmp_path):
                   cryptodir=str(tmp_path), randomnessdir=str(tmp_path))
     with pytest.raises(ValueError):
         s.computeWeightedAverage([b"\x00" * 4], [0.5, 0.5])
+
+
+def test_dropout_recovery_subset(tmp_path):
+    """Client dropout: learners {0,2,3} of 4 participate online. The
+    aggregator re-sums the RETAINED encrypted offline blobs for the
+    survivors (recoverRandomnessSubset) — the reference protocol cannot
+    do this (unmaskParams assumes all present, PaillierUtils.cpp:692)."""
+    learners = 4
+    n_params = 200
+    schemes = [M.Masking("paillier", learners, modulus_bits=BITS,
+                         num_bits=17, precision_bits=13,
+                         cryptodir=str(tmp_path / "crypto"),
+                         randomnessdir=str(tmp_path / f"rand{i}"))
+               for i in range(learners)]
+    schemes[0].genCryptoContextAndKeyGen()
+    for s in schemes:
+        s.loadCryptoParams()
+
+    blobs = [s.genPaillierRandOffline(n_params, iteration=0)
+             for s in schemes]
+    survivors = [0, 2, 3]
+
+    rng = np.random.default_rng(7)
+    data = [rng.standard_normal(n_params).astype(np.float32)
+            for _ in range(learners)]
+    masked = [schemes[i].encrypt(data[i], iteration=0) for i in survivors]
+    agg = schemes[0].computeWeightedAverage(masked)
+
+    # recovery: aggregator + key-holder, no surviving-learner interaction
+    schemes[1].recoverRandomnessSubset(blobs, n_params, iteration=0,
+                                       subset=survivors)
+    # the decryptor needs the subset sum locally too
+    schemes[0].recoverRandomnessSubset(blobs, n_params, iteration=0,
+                                       subset=survivors)
+    out = schemes[0].decrypt(agg, n_params, iteration=0, subset=survivors)
+    want = np.mean(np.stack([data[i] for i in survivors]), axis=0)
+    np.testing.assert_allclose(out, want, atol=learners * 2 ** -13)
