@@ -56,7 +56,9 @@ def run_single_key(model_size: int, ctx, batch: int) -> dict:
     t_dec = time.time() - t0
     err = np.abs(out[:, :batch].reshape(-1)[:model_size] - v).max()
     return {"mode": "single", "keygen": t_keygen, "encrypt": t_enc,
-            "eval": t_eval, "decrypt": t_dec, "max_err": float(err)}
+            "eval": t_eval, "decrypt": t_dec, "max_err": float(err),
+            "log2_precision": round(O.log2_precision(
+                out[:, :batch].reshape(-1)[:model_size], v), 2)}
 
 
 def run_threshold(model_size: int, client_size: int, ctx,
@@ -107,7 +109,9 @@ def run_threshold(model_size: int, client_size: int, ctx,
             "keygen": t_keygen, "joint_evalkey": t_evalkey,
             "encrypt": t_enc, "eval": t_eval,
             "mul_relin_joint": t_mul_relin,
-            "decrypt": t_dec, "max_err": float(err)}
+            "decrypt": t_dec, "max_err": float(err),
+            "log2_precision": round(O.log2_precision(
+                out[:, :batch].reshape(-1)[:model_size], v), 2)}
 
 
 def main(argv=None):

@@ -277,6 +277,16 @@ def _decrypt_impl(ctx: CkksContext, sk: SecretKey, data: jnp.ndarray,
     return encoding.decode_coeff(ctx, coeffs, scale)
 
 
+def log2_precision(actual, expected) -> float:
+    """Bits of precision of a decrypted result: -log2(max |actual -
+    expected|). PALISADE parity: plaintext->GetLogPrecision(), printed
+    after every decrypt in the reference's threshold experiment
+    (mkhe.cpp:182-183, 406-407) as its numeric-quality check."""
+    err = float(np.max(np.abs(np.asarray(actual, dtype=np.float64)
+                              - np.asarray(expected, dtype=np.float64))))
+    return float("inf") if err == 0.0 else -float(np.log2(err))
+
+
 def decrypt(ctx: CkksContext, sk: SecretKey, ct: Ciphertext) -> jnp.ndarray:
     """Decrypt to (chunks, N) f32. Mirrors cc->Decrypt + GetRealPackedValue
     (ckks.cpp:189-204)."""
