@@ -101,6 +101,35 @@ def main():
     agg = f_ws(stacked, wr, ws)
     print(f"decrypt: {timeit(f_dec, agg)*1e3:.2f} ms")
 
+    # 8. Symmetric-encrypt breakdown at the headline shape (204 chunks):
+    # where the enc phase's device time actually goes after the MXU NTT.
+    hchunks = 204
+    hv = jnp.asarray(rng.random((hchunks, n)).astype(np.float32))
+    f_enc_h = jax.jit(lambda v: E.encode_coeff(ctx, v, params.scale))
+    print(f"[sym] encode ({hchunks},{chain},{n}): "
+          f"{timeit(f_enc_h, hv)*1e3:.2f} ms")
+    f_unif = jax.jit(lambda k: K.uniform_mod_q(k, (hchunks, chain, n), ctx))
+    print(f"[sym] uniform a (threefry): "
+          f"{timeit(f_unif, jax.random.key(3))*1e3:.2f} ms")
+    print(f"[sym] uniform a (rbg): "
+          f"{timeit(f_unif, jax.random.key(3, impl='rbg'))*1e3:.2f} ms")
+    f_cbd = jax.jit(lambda k: lift_signed(cbd_coeffs(k, (hchunks, n)), q))
+    print(f"[sym] cbd error: {timeit(f_cbd, jax.random.key(4))*1e3:.2f} ms")
+    xh = jnp.asarray(rng.integers(0, params.moduli[0],
+                                  size=(hchunks, chain, n),
+                                  dtype=np.uint64).astype(np.uint32))
+    f_ntt_h = jax.jit(lambda x: ntt_mod.ntt(x, tb))
+    print(f"[sym] ntt: {timeit(f_ntt_h, xh)*1e3:.2f} ms")
+    from fhe_fed_tpu.rns import modops as MO
+    qb = q[:, None]
+    f_as = jax.jit(lambda a, w: MO.add_mod(
+        MO.mul_mod_shoup(a, sk.s[:chain], sk.s_shoup[:chain], qb), w, qb))
+    print(f"[sym] a*s + w: {timeit(f_as, xh, xh)*1e3:.2f} ms")
+    f_sym = jax.jit(lambda v, k: O._encrypt_sym_impl(ctx, sk, v, k,
+                                                     params.scale))
+    print(f"[sym] full encrypt_symmetric: "
+          f"{timeit(f_sym, hv, jax.random.key(5))*1e3:.2f} ms")
+
 
 if __name__ == "__main__":
     main()
