@@ -56,7 +56,12 @@ BASELINE_S = 2.456
 # Ring dim, scale, and security level are unchanged.
 DENSE_PACK = True
 
-KEY_DIR = "results/bench_keys_headline"
+# Anchor to this file, not the CWD: the keygen subprocess runs with
+# cwd=<repo>, so a relative path would desynchronize parent and child when
+# bench.py is invoked from elsewhere (parent would re-check/read against
+# its own CWD and miss the fixtures the child just wrote).
+KEY_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results", "bench_keys_headline")
 SK_PATH = os.path.join(KEY_DIR, "key-private.txt")
 PK_PATH = os.path.join(KEY_DIR, "key-public.txt")
 

@@ -20,7 +20,9 @@ import jax.numpy as jnp
 
 from fhe_fed_tpu import attack, models
 from fhe_fed_tpu.models import layers as ML
-from .common import append_jsonl
+from .common import append_jsonl, enable_compile_cache
+
+enable_compile_cache()
 
 
 def _small_net(seed=0):

@@ -27,6 +27,17 @@ class PhaseTimer:
         return sum(self.phases.values())
 
 
+def enable_compile_cache() -> None:
+    """Point JAX at the persistent compile cache. Every TPU benchmark
+    driver should call this before first device use: through the remote
+    tunnel a cold compile of a big program costs minutes, and a driver
+    without the cache pays it again on every rerun (bench.py always had
+    this; param_sweep's early runs did not — 15 configs x fresh compiles)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def results_dir() -> str:
     d = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "results")

@@ -19,7 +19,9 @@ from fhe_fed_tpu.ckks import keys as K
 from fhe_fed_tpu.ckks import keyswitch as KS
 from fhe_fed_tpu.ckks import ops as O
 from fhe_fed_tpu.ckks import threshold as T
-from .common import append_jsonl
+from .common import append_jsonl, enable_compile_cache
+
+enable_compile_cache()
 
 
 def _chunk(vals: np.ndarray, cap: int, n: int) -> jnp.ndarray:

@@ -23,7 +23,10 @@ import jax
 
 from fhe_fed_tpu import CKKS, flatten_params
 from fhe_fed_tpu import models
-from .common import PhaseTimer, append_jsonl, results_dir
+from .common import (PhaseTimer, append_jsonl, results_dir,
+                     enable_compile_cache)
+
+enable_compile_cache()
 
 DEFAULT_MODELS = ["linear", "tst", "mlp", "rnn_lstm", "cnn_fedavg"]
 
@@ -162,6 +165,12 @@ def main(argv=None):
     except (FileNotFoundError, ValueError):
         helper.genCryptoContextAndKeyGen()
         keygen_s = time.time() - t0
+    # Time init on a FRESH helper so cold and warm runs measure identical
+    # work (the helper above has already cached its context after keygen on
+    # a cold run, which would otherwise make the timed ctx access a no-op
+    # there but real work on warm runs).
+    helper = CKKS("ckks", args.batch, args.bits, cryptodir=keydir,
+                  symmetric=not args.pk)
     t0 = time.time()
     _ = helper.ctx
     helper.loadCryptoParams()

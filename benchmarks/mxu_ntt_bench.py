@@ -54,6 +54,15 @@ def main(argv=None):
     args = ap.parse_args(argv)
     variants = args.variants.split(",")
 
+    # Every ntt_mod.ntt/intt call in this bench must be the TRUE butterfly
+    # network: since the MXU kernel became ntt()'s TPU default, an
+    # unpinned call would dispatch to the very kernel it is compared
+    # against (both the 'butterfly' timing rows and the bit-exactness
+    # oracle below would be MXU-vs-MXU). The MXU variants call
+    # mxu/mxu_pallas directly, so this pin only affects the baseline.
+    os.environ["FHE_FED_TPU_NO_MXU"] = "1"
+    os.environ.pop("FHE_FED_TPU_PALLAS", None)
+
     n, L = args.ring, args.limbs
     mod = primes.ntt_primes(n, L)
     tb = tables_mod.make_tables(n, mod)

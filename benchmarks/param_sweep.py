@@ -34,7 +34,9 @@ import jax.numpy as jnp
 
 from fhe_fed_tpu import CKKS, flatten_params, unflatten_params
 from fhe_fed_tpu import models
-from .common import PhaseTimer, results_dir
+from .common import PhaseTimer, results_dir, enable_compile_cache
+
+enable_compile_cache()
 
 N_CLIENTS = 3
 

@@ -19,7 +19,9 @@ import jax
 
 from fhe_fed_tpu import CKKS, fhe_fedavg, flatten_params, SelectivePolicy
 from fhe_fed_tpu import models
-from .common import append_jsonl, results_dir
+from .common import append_jsonl, results_dir, enable_compile_cache
+
+enable_compile_cache()
 
 
 def main(argv=None):

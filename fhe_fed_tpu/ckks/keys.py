@@ -50,23 +50,45 @@ class PublicKey:
     p1_shoup: jnp.ndarray
 
 
-def uniform_mod_q(key, shape, ctx: CkksContext):
-    """Uniform residues in [0, q_l): shape must be (..., L_live, n).
-
-    Draws 64 bits per element: r = (hi * 2**32 + lo) mod q — bias < 2**-33.
-    """
+def _reduce_bits_mod_q(hi, lo, shape, ctx: CkksContext):
+    """(hi * 2**32 + lo) mod q_l for uniform 32-bit words — bias < 2**-33."""
     L = shape[-2]
     q = ctx.q[:L].reshape((1,) * (len(shape) - 2) + (L, 1))
     p32 = ctx.pow32[:L].reshape(q.shape)
     p32_sh = ctx.pow32_shoup[:L].reshape(q.shape)
-    k1, k2 = jax.random.split(key)
-    hi = jax.random.bits(k1, shape, dtype=_U32)
-    lo = jax.random.bits(k2, shape, dtype=_U32)
     # lo mod q: 2**32/q < 4 for q > 2**30, so at most 3 subtractions.
     lo = jnp.where(lo >= (q << 1), lo - (q << 1), lo)
     lo = jnp.where(lo >= q, lo - q, lo)
     hi_red = modops.mul_mod_shoup(hi, p32, p32_sh, q)
     return modops.add_mod(hi_red, lo, q)
+
+
+def uniform_mod_q(key, shape, ctx: CkksContext):
+    """Uniform residues in [0, q_l): shape must be (..., L_live, n).
+
+    Draws 64 bits per element: r = (hi * 2**32 + lo) mod q — bias < 2**-33.
+    """
+    k1, k2 = jax.random.split(key)
+    hi = jax.random.bits(k1, shape, dtype=_U32)
+    lo = jax.random.bits(k2, shape, dtype=_U32)
+    return _reduce_bits_mod_q(hi, lo, shape, ctx)
+
+
+def uniform_mod_q_xor2(key_a, key_b, shape, ctx: CkksContext):
+    """uniform_mod_q from the XOR of TWO independent threefry streams.
+
+    threefry2x32 has a 64-bit keyspace; a wire format whose security rests
+    on seed non-collision needs more (Kyber uses 256-bit seeds). XORing two
+    independently-keyed streams is uniform whenever either stream is, and
+    an (a, b) pair collides only when BOTH keys collide — a 128-bit seed
+    space. Used by the seed-compressed ciphertext path (ops.py)."""
+    k1a, k2a = jax.random.split(key_a)
+    k1b, k2b = jax.random.split(key_b)
+    hi = jax.random.bits(k1a, shape, dtype=_U32) ^ \
+        jax.random.bits(k1b, shape, dtype=_U32)
+    lo = jax.random.bits(k2a, shape, dtype=_U32) ^ \
+        jax.random.bits(k2b, shape, dtype=_U32)
+    return _reduce_bits_mod_q(hi, lo, shape, ctx)
 
 
 def ternary_coeffs(key, shape):

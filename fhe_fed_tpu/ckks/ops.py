@@ -29,8 +29,8 @@ from ..rns import modops
 from ..ntt import ntt as ntt_mod
 from . import encoding
 from .params import CkksContext
-from .keys import (SecretKey, PublicKey, uniform_mod_q, ternary_coeffs,
-                   cbd_coeffs, lift_signed)
+from .keys import (SecretKey, PublicKey, uniform_mod_q, uniform_mod_q_xor2,
+                   ternary_coeffs, cbd_coeffs, lift_signed)
 
 _U32 = jnp.uint32
 
@@ -154,30 +154,38 @@ def encrypt_symmetric(ctx: CkksContext, sk: SecretKey, values: jnp.ndarray,
 @dataclasses.dataclass(frozen=True)
 class SeededCiphertext:
     """A FRESH secret-key ciphertext with c1 elided: c1 = -a where a is
-    expanded from the 64-bit threefry seed carried alongside c0. Halves
-    the client->server upload (the RLWE seed-compression standard trick,
+    expanded from the 128-bit seed carried alongside c0. Halves the
+    client->server upload (the RLWE seed-compression standard trick,
     e.g. Kyber's seed-expanded public matrix) — a capability the
     reference's PALISADE wire format does not offer. Only fresh
     encryptions compress this way: homomorphic results have non-seedable
     c1, so the server expands on arrival and aggregates as usual.
 
-    The seed is threefry2x32 key data — JAX's threefry stream is
-    platform-deterministic, so a ciphertext sealed on a CPU client expands
-    bit-identically on the TPU server (the 'rbg' session PRNG is NOT used
-    here for exactly that reason)."""
+    The seed keys TWO independent threefry2x32 streams whose XOR is the
+    a-stream (keys.uniform_mod_q_xor2): one threefry key is only 64 bits,
+    too small for a collision-free wire guarantee, while a key PAIR
+    collides only when both halves do (~2**128 space). JAX's threefry
+    stream is platform-deterministic, so a ciphertext sealed on a CPU
+    client expands bit-identically on the TPU server (the 'rbg' session
+    PRNG is NOT used here for exactly that reason)."""
     c0: jnp.ndarray                                      # (chunks, live, N)
-    seed: jnp.ndarray                                    # (2,) uint32
+    seed: jnp.ndarray                                    # (4,) uint32
     scale: float = dataclasses.field(metadata=dict(static=True))
     level: int = dataclasses.field(metadata=dict(static=True))
 
 
+def _seed_keys(seed: jnp.ndarray):
+    return (jax.random.wrap_key_data(seed[:2], impl="threefry2x32"),
+            jax.random.wrap_key_data(seed[2:], impl="threefry2x32"))
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _encrypt_sym_seeded_impl(ctx: CkksContext, sk: SecretKey,
-                             values: jnp.ndarray, a_key, e_key,
+                             values: jnp.ndarray, seed, e_key,
                              scale: float) -> jnp.ndarray:
-    """c0 of the secret-key ciphertext, with `a` drawn from a_key: the
-    SAME construction as _encrypt_sym_impl, split so the a-stream is
-    reproducible from wire-carried key data."""
+    """c0 of the secret-key ciphertext, with `a` expanded from the wire
+    seed: the SAME construction as _encrypt_sym_impl, split so the
+    a-stream is reproducible from wire-carried key data."""
     chunks, n = values.shape
     L = ctx.params.chain_len
     q = ctx.q[:L]
@@ -186,7 +194,8 @@ def _encrypt_sym_seeded_impl(ctx: CkksContext, sk: SecretKey,
     pt = encoding.encode_coeff(ctx, values, scale)
     e = lift_signed(cbd_coeffs(e_key, (chunks, n)), q)
     w_hat = ntt_mod.ntt(modops.add_mod(pt, e, qb), tb)
-    a_hat = uniform_mod_q(a_key, (chunks, L, n), ctx)
+    ka, kb = _seed_keys(seed)
+    a_hat = uniform_mod_q_xor2(ka, kb, (chunks, L, n), ctx)
     return modops.add_mod(
         modops.mul_mod_shoup(a_hat, sk.s[:L], sk.s_shoup[:L], qb),
         w_hat, qb)
@@ -197,12 +206,11 @@ def encrypt_symmetric_seeded(ctx: CkksContext, sk: SecretKey,
                              scale: float | None = None) -> SeededCiphertext:
     """Secret-key encrypt of (chunks, N) f32 with c1 elided (half-size
     wire blobs; see SeededCiphertext). rng_key may be any PRNG impl; the
-    wire seed is always threefry."""
+    wire seed is always a threefry key pair."""
     scale = float(ctx.params.scale if scale is None else scale)
-    seed = jax.random.bits(rng_key, (2,), jnp.uint32)
-    a_key = jax.random.wrap_key_data(seed, impl="threefry2x32")
+    seed = jax.random.bits(rng_key, (4,), jnp.uint32)
     e_key = jax.random.fold_in(rng_key, 0x5eed)
-    c0 = _encrypt_sym_seeded_impl(ctx, sk, values, a_key, e_key, scale)
+    c0 = _encrypt_sym_seeded_impl(ctx, sk, values, seed, e_key, scale)
     return SeededCiphertext(c0=c0, seed=seed, scale=scale, level=0)
 
 
@@ -211,8 +219,8 @@ def _expand_seeded_impl(ctx: CkksContext, c0: jnp.ndarray,
                         seed: jnp.ndarray) -> jnp.ndarray:
     chunks, L, n = c0.shape
     qb = ctx.q[:L][:, None]
-    a_key = jax.random.wrap_key_data(seed, impl="threefry2x32")
-    a_hat = uniform_mod_q(a_key, (chunks, L, n), ctx)
+    ka, kb = _seed_keys(seed)
+    a_hat = uniform_mod_q_xor2(ka, kb, (chunks, L, n), ctx)
     return jnp.stack([c0, modops.neg_mod(a_hat, qb)], axis=1)
 
 

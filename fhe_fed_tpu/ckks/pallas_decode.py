@@ -36,13 +36,13 @@ _U32 = jnp.uint32
 _BC = 8
 
 
-def _kernel(res_ref, q_ref, pinv_ref, pinv_sh_ref, m_ref, kq_ref, qd_ref,
+def _kernel(res_ref, q_ref, pinv_ref, pinv_sh_ref, m_ref, qd_ref,
             invq_ref, o_ref, *, scale, live, ndig):
     from . import encoding
     dc = DecodeConsts(
         live=live, ndig=ndig,
         punc_inv=pinv_ref[:], punc_inv_shoup=pinv_sh_ref[:],
-        m_digits=m_ref[:], kq_digits=kq_ref[:], q_digits=qd_ref[0],
+        m_digits=m_ref[:], q_digits=qd_ref[0],
         inv_q_f32=invq_ref[:])
     o_ref[:, :] = encoding.decode_core(dc, q_ref[:], res_ref[:, :, :], scale)
 
@@ -75,7 +75,6 @@ def decode_fused(ctx: CkksContext, dc: DecodeConsts, residues: jnp.ndarray,
             full((live,)),
             full((live,)),
             full((live, dc.ndig)),
-            full((live + 1, dc.ndig)),
             full((1, dc.ndig)),
             full((live,)),
         ],
@@ -87,5 +86,5 @@ def decode_fused(ctx: CkksContext, dc: DecodeConsts, residues: jnp.ndarray,
         interpret=jax.default_backend() != "tpu",
     )
     out = fn(residues, qs, dc.punc_inv, dc.punc_inv_shoup, dc.m_digits,
-             dc.kq_digits, dc.q_digits.reshape(1, -1), dc.inv_q_f32)
+             dc.q_digits.reshape(1, -1), dc.inv_q_f32)
     return out[:B] if pad else out

@@ -117,7 +117,6 @@ class DecodeConsts:
     punc_inv: jnp.ndarray          # (live,)   (Q/q_l)^{-1} mod q_l
     punc_inv_shoup: jnp.ndarray    # (live,)
     m_digits: jnp.ndarray          # (live, ndig) 16-bit digits of Q/q_l
-    kq_digits: jnp.ndarray         # (live+1, ndig) digits of k*Q
     q_digits: jnp.ndarray          # (ndig,) digits of Q
     inv_q_f32: jnp.ndarray         # (live,) 1/q_l as f32
 
@@ -142,7 +141,8 @@ def _make_decode_consts(moduli: tuple[int, ...], live: int) -> DecodeConsts:
         punc_inv.append(pow(M % q, q - 2, q))
         m_digits[l] = digits(M)
     punc_inv = np.array(punc_inv, dtype=np.uint32)
-    kq_digits = np.stack([digits(k * Q) for k in range(live + 1)])
+    # (k*Q digit tables used to live here; decode now forms k*q_digits[d]
+    # non-normalized and lets the carry chain renormalize — encoding.py.)
     # Host (numpy) leaves; make_context batches the whole context to the
     # device in one transfer (utils/devput.py).
     return DecodeConsts(
@@ -152,7 +152,6 @@ def _make_decode_consts(moduli: tuple[int, ...], live: int) -> DecodeConsts:
         punc_inv_shoup=modops.shoup_precompute(
             punc_inv, np.array(qs, dtype=np.uint32)),
         m_digits=m_digits,
-        kq_digits=kq_digits,
         q_digits=digits(Q),
         inv_q_f32=np.array([1.0 / q for q in qs], dtype=np.float32),
     )

@@ -62,8 +62,8 @@ def deserialize_ct(ctx: CkksContext, blob: bytes) -> Ciphertext:
 
 
 def serialize_seeded_ct(ctx: CkksContext, sct: SeededCiphertext) -> bytes:
-    """Seed-compressed fresh ciphertext: header | seed u32[2] | c0 payload.
-    Half the bytes of serialize_ct (c1 is expanded from the seed
+    """Seed-compressed fresh ciphertext: header | seed u32[4] | c0 payload.
+    Half the bytes of serialize_ct (c1 is expanded from the 128-bit seed
     server-side; see ops.SeededCiphertext)."""
     c0 = np.asarray(sct.c0)
     chunks, live, n = c0.shape
@@ -82,8 +82,8 @@ def deserialize_seeded_ct(ctx: CkksContext, blob: bytes) -> SeededCiphertext:
         raise ValueError("not a fhe_fed_tpu seeded-ciphertext blob")
     if ring_dim != ctx.ring_dim or scale_bits != ctx.params.scale_bits:
         raise ValueError("seeded ciphertext params do not match context")
-    seed = np.frombuffer(blob, dtype="<u4", offset=_CT_HDR.size, count=2)
-    c0 = np.frombuffer(blob, dtype="<u4", offset=_CT_HDR.size + 8)
+    seed = np.frombuffer(blob, dtype="<u4", offset=_CT_HDR.size, count=4)
+    c0 = np.frombuffer(blob, dtype="<u4", offset=_CT_HDR.size + 16)
     c0 = c0.reshape(chunks, live, ring_dim)
     return SeededCiphertext(c0=jnp.asarray(c0), seed=jnp.asarray(seed),
                             scale=scale, level=level)

@@ -137,7 +137,7 @@ def _call(x, mt: MxuNttTables, forward: bool, dtype: str,
     # Pad the batch axis up to a block multiple: without this an odd chunk
     # count collapses the block to 1 poly/grid-cell (measured: resnet18's
     # 1427-chunk encrypt ran 10x slow before padding).
-    bc = min(_BC, max(8, B))
+    bc = _BC
     pad = (-B) % bc
     if pad:
         x = jnp.concatenate(

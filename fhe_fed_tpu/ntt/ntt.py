@@ -51,8 +51,13 @@ def _use_mxu(tb: NttTables) -> bool:
     """Default-ON on TPU: the fused MXU digit-plane four-step kernel
     (ntt/mxu_pallas.py) — measured 0.48 ms fwd / 0.67 ms inv per
     (204, 5, 8192) batch vs 2.63 / 3.25 ms for the butterfly network
-    (results/mxu_ntt.jsonl), bit-exact. Opt out: FHE_FED_TPU_NO_MXU=1."""
+    (results/mxu_ntt.jsonl), bit-exact. Opt out: FHE_FED_TPU_NO_MXU=1.
+    An EXPLICIT FHE_FED_TPU_PALLAS=1 (the fused-butterfly opt-in) takes
+    precedence over this default — explicit flags beat defaults — so that
+    backend stays reachable without also setting NO_MXU."""
     if tb.mxu is None or os.environ.get("FHE_FED_TPU_NO_MXU"):
+        return False
+    if os.environ.get("FHE_FED_TPU_PALLAS") and tb.stages is not None:
         return False
     return jax.default_backend() == "tpu"
 

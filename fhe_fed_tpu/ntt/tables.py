@@ -117,8 +117,16 @@ def make_tables(ring_dim: int, moduli: tuple[int, ...],
         ninv[l] = pow(n, q - 2, q)
     qs = np.asarray(moduli, dtype=np.uint32)
     from . import mxu as mxu_mod         # deferred: mxu imports _bitrev
+    # Build the MXU digit-plane tables only where the kernel can run:
+    # off-TPU they are dead weight (the host build is object-dtype bignum
+    # loops over ~1M entries plus ~1.3 MB of int8 matrices per context),
+    # and _use_mxu never fires there. Callers that want them elsewhere
+    # (the bit-exactness tests, interpret mode) build them directly via
+    # mxu.make_mxu_tables.
+    import jax as _jax
     mxu_tb = (mxu_mod.make_mxu_tables(n, tuple(moduli), materialize=False)
-              if mxu_mod.mxu_viable(n) else None)
+              if (mxu_mod.mxu_viable(n)
+                  and _jax.default_backend() == "tpu") else None)
     out = NttTables(
         ring_dim=n,
         q=qs,

@@ -43,17 +43,21 @@ def test_seeded_expand_decrypts():
 
 
 def test_expansion_matches_manual_construction():
-    """c1 must be exactly -uniform_mod_q(threefry(seed)) — i.e. the server
-    reconstructs bit-for-bit what the client elided."""
+    """c1 must be exactly -uniform_xor2(threefry-pair(seed)) — i.e. the
+    server reconstructs bit-for-bit what the client elided. The seed is a
+    128-bit key PAIR (two XORed threefry streams), not a single 64-bit
+    threefry key — see SeededCiphertext on collision space."""
     params, ctx = _small_ctx()
     sk, _pk = K.keygen(ctx, seed=1)
     rng = np.random.default_rng(1)
     v = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
     sct = O.encrypt_symmetric_seeded(ctx, sk, v, jax.random.key(7))
+    assert np.asarray(sct.seed).shape == (4,)
     ct = O.expand_seeded(ctx, sct)
     L = params.chain_len
-    a_key = jax.random.wrap_key_data(sct.seed, impl="threefry2x32")
-    a_hat = K.uniform_mod_q(a_key, (2, L, 256), ctx)
+    ka = jax.random.wrap_key_data(sct.seed[:2], impl="threefry2x32")
+    kb = jax.random.wrap_key_data(sct.seed[2:], impl="threefry2x32")
+    a_hat = K.uniform_mod_q_xor2(ka, kb, (2, L, 256), ctx)
     from fhe_fed_tpu.rns import modops
     want_c1 = np.asarray(modops.neg_mod(a_hat, ctx.q[:L][:, None]))
     np.testing.assert_array_equal(np.asarray(ct.data[:, 1]), want_c1)
@@ -74,7 +78,7 @@ def test_serial_roundtrip_and_size():
                                   np.asarray(sct.seed))
     assert back.scale == sct.scale and back.level == sct.level
     full_blob = S.serialize_ct(ctx, O.expand_seeded(ctx, sct))
-    assert len(blob) <= len(full_blob) // 2 + S.CT_HEADER_BYTES + 8
+    assert len(blob) <= len(full_blob) // 2 + S.CT_HEADER_BYTES + 16
     # deserialize_any_ct expands transparently
     ct = S.deserialize_any_ct(ctx, blob)
     np.testing.assert_array_equal(
