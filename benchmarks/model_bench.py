@@ -199,8 +199,11 @@ def main(argv=None):
                     # warming a single slice excludes all compile time
                     dummy = [np.zeros(args.max_chunks * helper.capacity,
                                       np.float32)] * args.clients
+                    # fused=False: the timed path below stages its phases,
+                    # so warm the staged slice programs, not the fused one.
                     helper.fedavg_round(
-                        dummy, [1.0 / args.clients] * args.clients)
+                        dummy, [1.0 / args.clients] * args.clients,
+                        fused=False)
                 else:
                     bench_model(name, args.clients, helper,
                                 use_bytes=args.bytes,

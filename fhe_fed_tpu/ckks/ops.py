@@ -445,6 +445,42 @@ def weighted_sum(ctx: CkksContext, cts, weights: list[float]) -> Ciphertext:
     return Ciphertext(data=data, scale=scale0 * ds, level=level0)
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "dec_scale"))
+def _fedavg_round_fused_impl(ctx: CkksContext, sk: SecretKey,
+                             values: jnp.ndarray, rng_key,
+                             w_res: jnp.ndarray, w_shoup: jnp.ndarray,
+                             scale: float, dec_scale: float) -> jnp.ndarray:
+    data = _encrypt_sym_stacked_impl(ctx, sk, values, rng_key, scale)
+    agg = _weighted_sum_impl(ctx, data, w_res, w_shoup)
+    return _decrypt_impl(ctx, sk, agg, dec_scale)
+
+
+def fedavg_round_fused(ctx: CkksContext, sk: SecretKey, values: jnp.ndarray,
+                       rng_key, weights: list[float],
+                       scale: float | None = None) -> jnp.ndarray:
+    """One full secure-FedAvg round — encrypt all K clients, fused weighted
+    sum, decrypt — as ONE XLA computation: values (K, chunks, N) f32 ->
+    averaged (chunks, N) f32, still on device.
+
+    The phased path (encrypt_symmetric_stacked / weighted_sum / decrypt)
+    mirrors the reference's accounting, where each phase is a separately
+    timed call (benchmark_crypto.py:183-239); this one is the deployment
+    shape — the server round-trip is a single dispatch, so XLA fuses
+    across phase boundaries (the aggregation reads ciphertexts straight
+    out of the encrypt fusion) and per-dispatch latency is paid once per
+    round instead of once per phase. Identical arithmetic to the staged
+    path (test_fed_api.py::test_fused_round_matches_staged)."""
+    scale = float(ctx.params.scale if scale is None else scale)
+    L = ctx.params.chain_len
+    ds = _scalar_scale(ctx, 0)
+    res_l, shoup_l = zip(*(encoding.encode_scalar(
+        ctx.params.moduli[:L], float(w), ds) for w in weights))
+    return _fedavg_round_fused_impl(
+        ctx, sk, values, rng_key,
+        jnp.asarray(np.stack(res_l)), jnp.asarray(np.stack(shoup_l)),
+        scale, scale * ds)
+
+
 @jax.jit
 def _rescale_impl(ctx: CkksContext, data: jnp.ndarray, level: int = 0):
     # level is re-derived from shapes; kept only in the wrapper.

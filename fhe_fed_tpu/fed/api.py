@@ -283,10 +283,29 @@ class CKKS(Scheme):
             return one if per_client else k * one
         return data.nbytes + ckks_serial.CT_HEADER_BYTES
 
+    def _round_slice(self, packed: jnp.ndarray, scaling_factors,
+                     fused: bool):
+        """encrypt -> aggregate -> decrypt of one (K, chunks, N) slice.
+        fused=True runs all three as ONE XLA computation
+        (ckks_ops.fedavg_round_fused) — the deployment shape, paying
+        dispatch latency once per round instead of once per phase."""
+        if fused and self.symmetric and self._sk is not None:
+            return ckks_ops.fedavg_round_fused(
+                self.ctx, self._sk, packed, self._next_key(),
+                [float(s) for s in scaling_factors])
+        ct = self.encrypt_cohort(packed)
+        agg = self.aggregate_cohort(ct, scaling_factors)
+        return self.decrypt_cohort(agg, raw=True)
+
     def fedavg_round(self, client_vectors, scaling_factors,
                      data_dimensions: int | None = None,
-                     max_chunks: int | None = 1024) -> np.ndarray:
+                     max_chunks: int | None = 1024,
+                     fused: bool = True) -> np.ndarray:
         """One full secure-FedAvg round, device-resident end to end.
+
+        By default each slice runs as ONE fused XLA computation (see
+        _round_slice; fused=False restores the three-dispatch staged path,
+        and the pk-encryption mode always stages).
 
         max_chunks bounds device memory for BERT-scale models (SURVEY.md
         §7 host<->device feed: 26k chunks would need >12 GB of ciphertext
@@ -304,15 +323,14 @@ class CKKS(Scheme):
                 client_vectors)
         chunks = packed.shape[1]
         if max_chunks is None or chunks <= max_chunks:
-            ct = self.encrypt_cohort(packed)
-            agg = self.aggregate_cohort(ct, scaling_factors)
-            return self.decrypt_cohort(agg, dims)
+            dev = self._round_slice(packed, scaling_factors, fused)
+            return self._unpack(np.asarray(dev), dims)
         pad = (-chunks) % max_chunks
         if pad:
             packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
         outs = []
         for s in range(0, chunks + pad, max_chunks):
-            ct = self.encrypt_cohort(packed[:, s:s + max_chunks])
-            agg = self.aggregate_cohort(ct, scaling_factors)
-            outs.append(np.asarray(self.decrypt_cohort(agg, raw=True)))
+            dev = self._round_slice(packed[:, s:s + max_chunks],
+                                    scaling_factors, fused)
+            outs.append(np.asarray(dev))
         return self._unpack(np.concatenate(outs, axis=0), dims)

@@ -64,6 +64,25 @@ def test_mismatched_weights_raises(helper):
         helper.computeWeightedAverage([b"", b""], [1.0])
 
 
+def test_fused_round_matches_staged(helper):
+    """fedavg_round's one-dispatch fused path (encrypt -> weighted sum ->
+    decrypt in a single XLA computation) must agree with the staged
+    three-dispatch path to CKKS precision, including the chunk-streamed
+    case where each slice runs fused."""
+    dims = 1000
+    rng = np.random.default_rng(5)
+    scaling = [0.5, 0.2, 0.3]
+    data = [rng.standard_normal(dims).astype(np.float32) for _ in range(3)]
+    want = sum(w * d for w, d in zip(scaling, data))
+    out_f = helper.fedavg_round(data, scaling, dims)
+    out_s = helper.fedavg_round(data, scaling, dims, fused=False)
+    np.testing.assert_allclose(out_f, want, atol=1e-4)
+    np.testing.assert_allclose(out_s, want, atol=1e-4)
+    # Streamed: force multiple slices through the same fused program.
+    out_stream = helper.fedavg_round(data, scaling, dims, max_chunks=2)
+    np.testing.assert_allclose(out_stream, want, atol=1e-4)
+
+
 def _toy_model(rng):
     return {
         "conv": {"w": rng.standard_normal((3, 3, 8)).astype(np.float32),
