@@ -33,7 +33,8 @@ DEFAULT_MODELS = ["linear", "tst", "mlp", "rnn_lstm", "cnn_fedavg"]
 
 def bench_model(name: str, n_clients: int, helper: CKKS,
                 seed: int = 0, use_bytes: bool = False,
-                reps: int = 1, max_chunks: int = 512) -> dict:
+                reps: int = 1, max_chunks: int = 512,
+                use_fused: bool = False) -> dict:
     spec = models.build(name, seed=seed)
     flat, _ = flatten_params(spec.params)
     n = flat.size
@@ -43,7 +44,38 @@ def bench_model(name: str, n_clients: int, helper: CKKS,
     weights = [1.0 / n_clients] * n_clients
 
     t = PhaseTimer()
-    if use_bytes:
+    if use_fused:
+        # Fused one-dispatch rounds (ops.fedavg_round_fused): every slice
+        # is ONE XLA computation (encrypt -> weighted sum -> decrypt), all
+        # slices enqueued back-to-back with a single device sync — so
+        # dispatch latency is paid once per ROUND, not 3x per slice. This
+        # is the deployment path; phases cannot be split (reported as one
+        # 'round' phase). ct_bytes is computed from shapes (the cohort ct
+        # never exists as a standalone array inside the fusion).
+        import jax.numpy as jnp
+        packed = helper.pack_cohort(clients)
+        jax.block_until_ready(packed)
+        chunks = packed.shape[1]
+        p = helper.ctx.params
+        ct_bytes = n_clients * chunks * (
+            2 * p.chain_len * p.ring_dim * 4 + 64)
+        mc = min(max_chunks, chunks)
+        pad = (-chunks) % mc
+        if pad:
+            packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
+        round_outs = []
+        with t.phase("round"):
+            for _ in range(reps):
+                outs = [helper._round_slice(packed[:, s:s + mc], weights,
+                                            fused=True)
+                        for s in range(0, chunks + pad, mc)]
+                round_outs.append(outs)
+            jax.block_until_ready(round_outs)
+        with t.phase("fetch"):
+            out = helper._unpack(
+                np.concatenate([np.asarray(d) for d in round_outs[-1]],
+                               axis=0), n).astype(np.float32)
+    elif use_bytes:
         # Reference-parity wire path: one blob per client (ckks.cpp:98-101).
         reps = 1
         with t.phase("encrypt"):
@@ -120,7 +152,8 @@ def bench_model(name: str, n_clients: int, helper: CKKS,
     plain_bytes = n * 4 * n_clients
     return {"model": name, "params": n, "clients": n_clients,
             "phases": phases, "total": total, "reps": reps,
-            "path": "bytes" if use_bytes else "cohort",
+            "path": ("fused" if use_fused
+                     else "bytes" if use_bytes else "cohort"),
             "ct_bytes": ct_bytes, "plain_bytes": plain_bytes,
             "comm_expansion": ct_bytes / plain_bytes, "max_err": err,
             "backend": jax.default_backend()}
@@ -148,7 +181,13 @@ def main(argv=None):
     ap.add_argument("--max-chunks", type=int, default=512,
                     help="chunk-axis slice size for streaming large models "
                          "(bounds peak device memory)")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused one-dispatch rounds (enc->agg->dec as one "
+                         "XLA computation per slice, one sync per round) — "
+                         "the deployment path; phases report as 'round'")
     args = ap.parse_args(argv)
+    if args.fused and (args.bytes or args.pk):
+        ap.error("--fused requires the secret-key cohort path")
 
     keydir = os.path.join(results_dir(), "bench_keys")
     os.makedirs(keydir, exist_ok=True)
@@ -181,7 +220,9 @@ def main(argv=None):
 
     txt_path = os.path.join(
         results_dir(),
-        "model_results_bytes.txt" if args.bytes else "model_results.txt")
+        "model_results_fused.txt" if args.fused
+        else "model_results_bytes.txt" if args.bytes
+        else "model_results.txt")
     results = []
     with open(txt_path, "w") as f:
         for i, name in enumerate(args.models):
@@ -194,7 +235,8 @@ def main(argv=None):
             if ct_gb * max(1, reps) > 1.0:
                 reps = 1
             if args.warmup:
-                if not args.bytes and chunks > args.max_chunks:
+                if not (args.bytes or args.fused) and \
+                        chunks > args.max_chunks:
                     # streamed models reuse ONE compiled slice shape:
                     # warming a single slice excludes all compile time
                     dummy = [np.zeros(args.max_chunks * helper.capacity,
@@ -204,27 +246,42 @@ def main(argv=None):
                     helper.fedavg_round(
                         dummy, [1.0 / args.clients] * args.clients,
                         fused=False)
+                elif args.fused and chunks > args.max_chunks:
+                    dummy = [np.zeros(args.max_chunks * helper.capacity,
+                                      np.float32)] * args.clients
+                    helper.fedavg_round(
+                        dummy, [1.0 / args.clients] * args.clients)
                 else:
                     bench_model(name, args.clients, helper,
                                 use_bytes=args.bytes,
+                                use_fused=args.fused,
                                 max_chunks=args.max_chunks)
             r = bench_model(name, args.clients, helper,
                             use_bytes=args.bytes, reps=reps,
+                            use_fused=args.fused,
                             max_chunks=args.max_chunks)
             r["init"] = init_s
             results.append(r)
             append_jsonl("model_bench.jsonl", r)
             f.write(f"Model #{i} ({name}, {r['params']} params)\n")
             f.write(f"Init Time: {init_s}\n")
-            f.write(f"Encryption Time: {r['phases']['encrypt']}\n")
-            f.write(f"Secure Agg Time: {r['phases']['aggregate']}\n")
-            f.write(f"Decryption Time: {r['phases']['decrypt']}\n")
-            f.write(f" Total time: {init_s + r['total']}\n")
-            print(f"{name:12s} {r['params']:>11,} params: "
-                  f"enc {r['phases']['encrypt']:.3f}s "
-                  f"agg {r['phases']['aggregate']:.3f}s "
-                  f"dec {r['phases']['decrypt']:.3f}s "
-                  f"comm x{r['comm_expansion']:.1f} err {r['max_err']:.1e}")
+            if args.fused:
+                f.write(f"Fused Round Time: {r['phases']['round']}\n")
+                f.write(f" Total time: {init_s + r['total']}\n")
+                print(f"{name:12s} {r['params']:>11,} params: "
+                      f"round {r['phases']['round']:.3f}s "
+                      f"err {r['max_err']:.1e}")
+            else:
+                f.write(f"Encryption Time: {r['phases']['encrypt']}\n")
+                f.write(f"Secure Agg Time: {r['phases']['aggregate']}\n")
+                f.write(f"Decryption Time: {r['phases']['decrypt']}\n")
+                f.write(f" Total time: {init_s + r['total']}\n")
+                print(f"{name:12s} {r['params']:>11,} params: "
+                      f"enc {r['phases']['encrypt']:.3f}s "
+                      f"agg {r['phases']['aggregate']:.3f}s "
+                      f"dec {r['phases']['decrypt']:.3f}s "
+                      f"comm x{r['comm_expansion']:.1f} "
+                      f"err {r['max_err']:.1e}")
     print("wrote", txt_path)
     return results
 
