@@ -63,6 +63,11 @@ def main(argv=None):
 
     ours = {}
     for r in _load_jsonl("model_bench.jsonl"):
+        # Figures plot the reference-accounting phase split, which only
+        # the staged cohort/bytes rows carry; fused one-dispatch rows
+        # (path "fused") report a single 'round' phase and are skipped.
+        if r.get("path") == "fused":
+            continue
         ours[r["model"]] = r          # last run wins
 
     # -- comp_time ---------------------------------------------------------
