@@ -29,8 +29,10 @@ scale 2**52.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..rns import modops
@@ -96,15 +98,16 @@ def decode_coeff(ctx: CkksContext, residues: jnp.ndarray,
     (ckks/pallas_decode.py) measured SLOWER on TPU (3.17 ms vs 1.41 ms per
     (204,4,8192) batch after the k*Q-multiply rewrite below) — XLA's own
     fusion schedules this elementwise chain better than a 17 MB-scoped
-    kernel. Opt in with FHE_FED_TPU_FUSED_DECODE=1."""
-    import os
-    import jax
+    kernel. Opt in with FHE_FED_TPU_FUSED_DECODE=1. The MXU byte-plane
+    variant (decode_core_mxu) is opt-in via FHE_FED_TPU_MXU_DECODE=1."""
     live = residues.shape[-2]
     dc: DecodeConsts = ctx.dec_consts[live - 1]
     if (residues.ndim == 3 and jax.default_backend() == "tpu"
             and os.environ.get("FHE_FED_TPU_FUSED_DECODE")):
         from . import pallas_decode
         return pallas_decode.decode_fused(ctx, dc, residues, float(scale))
+    if os.environ.get("FHE_FED_TPU_MXU_DECODE"):
+        return decode_core_mxu(dc, ctx.q[:live], residues, scale)
     return decode_core(dc, ctx.q[:live], residues, scale)
 
 
@@ -144,6 +147,62 @@ def decode_core(dc: DecodeConsts, qs, residues: jnp.ndarray,
             if d + 2 < nd:
                 planes[d + 2] = planes[d + 2] + (p2 >> 16)
 
+    return _planes_to_f32(dc, [p.astype(_I32) for p in planes], k, scale)
+
+
+def decode_core_mxu(dc: DecodeConsts, qs, residues: jnp.ndarray,
+                    scale: float) -> jnp.ndarray:
+    """decode_core with the digit-plane accumulation as ONE MXU matmul.
+
+    The VPU plane loop above does live x ndig 16-bit partial products per
+    coefficient; here sum_l y_l * M_l is instead computed in base-256:
+    split y into 4 bytes (..., live*4, N) and contract against the
+    precomputed byte matrix dc.m_bytes ((live*4, 2*ndig): row (l, i) /
+    col d8 = byte (d8 - i) of M_l), so
+
+        P[..., d8, :] = sum_{l,i} byte_i(y_l) * byte_{d8-i}(M_l)
+        sum_d8 P[d8] * 2**(8*d8) = sum_l y_l * M_l    (exactly)
+
+    Every product is <= 255*255 and there are live*4 <= 32 of them per
+    plane: |P| < 2**22, exact in the MXU's f32 accumulation, with bf16
+    operands (integers 0..255 are exact in bf16) on TPU / f32 elsewhere.
+    Byte-plane pairs then recombine into the same base-2**16 planes the
+    shared carry chain consumes. Same trick as the MXU NTT (ntt/mxu.py):
+    move the integer multiply burden from the VPU to the systolic array.
+    Bit-exact vs decode_core (tests/test_ckks.py::test_decode_mxu_exact).
+    """
+    live = residues.shape[-2]
+    nd = dc.ndig
+
+    y = modops.mul_mod_shoup(
+        residues, dc.punc_inv[:, None], dc.punc_inv_shoup[:, None],
+        qs[:, None])                                    # (..., live, N)
+    fsum = jnp.sum(y.astype(_I32).astype(_F32) * dc.inv_q_f32[:, None],
+                   axis=-2)
+    k = jnp.round(fsum).astype(_I32)                    # (..., N), 0..live
+
+    mm_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32)
+    b = jnp.stack([((y >> (8 * i)) & _U32(0xFF)).astype(_I32)
+                   for i in range(4)], axis=-2)         # (..., live, 4, N)
+    b = b.reshape(residues.shape[:-2] + (live * 4, residues.shape[-1]))
+    p = jnp.einsum("...kn,kd->...dn", b.astype(mm_dtype),
+                   dc.m_bytes.astype(mm_dtype),
+                   preferred_element_type=jnp.float32)  # (..., 2*nd, N)
+    p = p.astype(_I32)
+    planes = [p[..., 2 * d, :] + (p[..., 2 * d + 1, :] << 8)
+              for d in range(nd)]                       # each < 2**30
+    return _planes_to_f32(dc, planes, k, scale)
+
+
+def _planes_to_f32(dc: DecodeConsts, planes: list, k: jnp.ndarray,
+                   scale: float) -> jnp.ndarray:
+    """Shared decode tail: digit planes (i32, each < 2**30, representing
+    sum_l y_l * M_l in base 2**16) + k -> centered value / scale as f32.
+    Used by both the VPU plane loop (decode_core) and the MXU byte-plane
+    matmul (decode_core_mxu)."""
+    nd = dc.ndig
+
     # w = acc + Q - k*Q  (>= 0, exact). k*Q's digit d is k * q_digits[d]
     # NON-normalized (< 2**21: k <= live+1, digit < 2**16) — the carry
     # propagation below renormalizes, since
@@ -154,7 +213,7 @@ def decode_core(dc: DecodeConsts, qs, residues: jnp.ndarray,
     carry = jnp.zeros_like(k)
     for d in range(nd):
         kq_d = k * dc.q_digits[d].astype(_I32)
-        r = planes[d].astype(_I32) + dc.q_digits[d].astype(_I32) - kq_d + carry
+        r = planes[d] + dc.q_digits[d].astype(_I32) - kq_d + carry
         out_digits.append(r & _I32(0xFFFF))
         carry = r >> 16
     # carry must be 0 here: w in [0, 2Q) fits the nd digit planes.

@@ -119,6 +119,13 @@ class DecodeConsts:
     m_digits: jnp.ndarray          # (live, ndig) 16-bit digits of Q/q_l
     q_digits: jnp.ndarray          # (ndig,) digits of Q
     inv_q_f32: jnp.ndarray         # (live,) 1/q_l as f32
+    # MXU decode operand: row (l, i) / col d8 holds byte (d8 - i) of Q/q_l,
+    # so P = bytes(y) @ m_bytes gives sum_l y_l*(Q/q_l) in base-256 planes
+    # (encoding.decode_core_mxu). f32; every entry is an exact integer
+    # 0..255 (also exact in bf16 for the TPU MXU path). Defaults to None
+    # so the Pallas decode kernel can rebuild a DecodeConsts view from
+    # just the refs it stages (pallas_decode.py:42).
+    m_bytes: jnp.ndarray | None = None  # (live*4, 2*ndig) f32
 
 
 def _make_decode_consts(moduli: tuple[int, ...], live: int) -> DecodeConsts:
@@ -136,10 +143,14 @@ def _make_decode_consts(moduli: tuple[int, ...], live: int) -> DecodeConsts:
 
     punc_inv = []
     m_digits = np.zeros((live, ndig), dtype=np.uint32)
+    m_bytes = np.zeros((live * 4, 2 * ndig), dtype=np.float32)
     for l, q in enumerate(qs):
         M = Q // q
         punc_inv.append(pow(M % q, q - 2, q))
         m_digits[l] = digits(M)
+        for i in range(4):                  # byte i of y_l ...
+            for d8 in range(i, 2 * ndig):   # ... lands on plane i + j
+                m_bytes[l * 4 + i, d8] = (M >> (8 * (d8 - i))) & 0xFF
     punc_inv = np.array(punc_inv, dtype=np.uint32)
     # (k*Q digit tables used to live here; decode now forms k*q_digits[d]
     # non-normalized and lets the carry chain renormalize — encoding.py.)
@@ -154,6 +165,7 @@ def _make_decode_consts(moduli: tuple[int, ...], live: int) -> DecodeConsts:
         m_digits=m_digits,
         q_digits=digits(Q),
         inv_q_f32=np.array([1.0 / q for q in qs], dtype=np.float32),
+        m_bytes=m_bytes,
     )
 
 
