@@ -57,8 +57,10 @@ def bench_model(name: str, n_clients: int, helper: CKKS,
         jax.block_until_ready(packed)
         chunks = packed.shape[1]
         p = helper.ctx.params
-        ct_bytes = n_clients * chunks * (
-            2 * p.chain_len * p.ring_dim * 4 + 64)
+        # one 64-byte header per client blob, matching ct_wire_bytes'
+        # per-client accounting on the cohort path
+        ct_bytes = n_clients * (
+            chunks * 2 * p.chain_len * p.ring_dim * 4 + 64)
         mc = min(max_chunks, chunks)
         pad = (-chunks) % mc
         if pad:
@@ -243,14 +245,18 @@ def main(argv=None):
                                       np.float32)] * args.clients
                     # fused=False: the timed path below stages its phases,
                     # so warm the staged slice programs, not the fused one.
+                    # max_chunks must match the timed slice shape or XLA
+                    # compiles inside the timed phase (fedavg_round's own
+                    # default is 1024, not args.max_chunks).
                     helper.fedavg_round(
                         dummy, [1.0 / args.clients] * args.clients,
-                        fused=False)
+                        max_chunks=args.max_chunks, fused=False)
                 elif args.fused and chunks > args.max_chunks:
                     dummy = [np.zeros(args.max_chunks * helper.capacity,
                                       np.float32)] * args.clients
                     helper.fedavg_round(
-                        dummy, [1.0 / args.clients] * args.clients)
+                        dummy, [1.0 / args.clients] * args.clients,
+                        max_chunks=args.max_chunks)
                 else:
                     bench_model(name, args.clients, helper,
                                 use_bytes=args.bytes,

@@ -173,6 +173,13 @@ def decode_core_mxu(dc: DecodeConsts, qs, residues: jnp.ndarray,
     """
     live = residues.shape[-2]
     nd = dc.ndig
+    # Exactness bound: each byte-plane entry is < live*4*255**2; the
+    # _planes_to_f32 contract (planes < 2**30) requires
+    # live*4*255**2 * 257 < 2**30, i.e. live <= 16. A deeper chain must
+    # fail loudly here instead of silently corrupting decode output.
+    assert live <= 16, (
+        f"decode_core_mxu supports at most 16 live limbs (got {live}): "
+        "byte-plane recombination would exceed the 2**30 plane bound")
 
     y = modops.mul_mod_shoup(
         residues, dc.punc_inv[:, None], dc.punc_inv_shoup[:, None],

@@ -64,23 +64,61 @@ def test_mismatched_weights_raises(helper):
         helper.computeWeightedAverage([b"", b""], [1.0])
 
 
-def test_fused_round_matches_staged(helper):
+def test_fused_round_matches_staged(tmp_path, monkeypatch):
     """fedavg_round's one-dispatch fused path (encrypt -> weighted sum ->
     decrypt in a single XLA computation) must agree with the staged
     three-dispatch path to CKKS precision, including the chunk-streamed
-    case where each slice runs fused."""
+    case where each slice runs fused.
+
+    The fused path only engages in secret-key mode (_round_slice guards on
+    `self.symmetric and self._sk is not None`; pk mode always stages), so
+    this test builds a symmetric helper and spies on
+    ckks_ops.fedavg_round_fused to prove the fused kernel actually ran —
+    a silent fallback to staging must fail here."""
+    from fhe_fed_tpu.ckks import ops as ckks_ops
+
+    h = CKKS("ckks", batchSize=128, scaleFactorBits=40,
+             cryptodir=str(tmp_path), symmetric=True, seed=11)
+    h.genCryptoContextAndKeyGen()
+
+    calls = []
+    real_fused = ckks_ops.fedavg_round_fused
+    monkeypatch.setattr(
+        ckks_ops, "fedavg_round_fused",
+        lambda *a, **kw: (calls.append(1), real_fused(*a, **kw))[1])
+
     dims = 1000
     rng = np.random.default_rng(5)
     scaling = [0.5, 0.2, 0.3]
     data = [rng.standard_normal(dims).astype(np.float32) for _ in range(3)]
     want = sum(w * d for w, d in zip(scaling, data))
-    out_f = helper.fedavg_round(data, scaling, dims)
-    out_s = helper.fedavg_round(data, scaling, dims, fused=False)
+    out_f = h.fedavg_round(data, scaling, dims)
+    assert len(calls) == 1, "fused path did not run (silently staged?)"
+    out_s = h.fedavg_round(data, scaling, dims, fused=False)
+    assert len(calls) == 1
     np.testing.assert_allclose(out_f, want, atol=1e-4)
     np.testing.assert_allclose(out_s, want, atol=1e-4)
     # Streamed: force multiple slices through the same fused program.
-    out_stream = helper.fedavg_round(data, scaling, dims, max_chunks=2)
+    out_stream = h.fedavg_round(data, scaling, dims, max_chunks=2)
+    assert len(calls) == 5, "streamed slices must each run fused"
     np.testing.assert_allclose(out_stream, want, atol=1e-4)
+
+
+def test_fused_round_stages_in_pk_mode(helper, monkeypatch):
+    """The default (pk) helper cannot run the fused symmetric kernel:
+    fedavg_round must stage, and still be correct."""
+    from fhe_fed_tpu.ckks import ops as ckks_ops
+    monkeypatch.setattr(
+        ckks_ops, "fedavg_round_fused",
+        lambda *a, **kw: pytest.fail("pk-mode round must not call the "
+                                     "symmetric fused kernel"))
+    dims = 500
+    rng = np.random.default_rng(6)
+    scaling = [0.4, 0.6]
+    data = [rng.standard_normal(dims).astype(np.float32) for _ in range(2)]
+    out = helper.fedavg_round(data, scaling, dims)
+    np.testing.assert_allclose(
+        out, sum(w * d for w, d in zip(scaling, data)), atol=1e-4)
 
 
 def _toy_model(rng):
