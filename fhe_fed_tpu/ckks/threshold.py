@@ -291,3 +291,246 @@ def combine_switch_key_shares(ctx: CkksContext,
                                                          q_np)),
         a=a, a_shoup=jnp.asarray(modops.shoup_precompute(np.asarray(a),
                                                          q_np)))
+
+
+# ---------------------------------------------------------------------------
+# Batched / jitted ceremonies — the TPU fast path
+# ---------------------------------------------------------------------------
+#
+# The per-party functions above document the PROTOCOL (who publishes what,
+# round by round — mkhe.cpp:281-317, 392-402) and are what a real
+# multi-machine deployment would run. Executed eagerly per party they issue
+# dozens of device dispatches each, which through a remote-attached TPU is
+# ~25 ms apiece — the round-3 mkhe bench measured 53-112 s threshold
+# decrypts that PALISADE does in milliseconds (mkhe.cpp:392-402 timed at
+# :64-90). The batched variants below compute the SAME arithmetic (bit-
+# identical residues, same per-party PRNG streams) with the party axis
+# stacked and the whole ceremony jitted: ONE dispatch per ceremony. Shoup
+# companions are computed on device (modops.shoup_device), so no host
+# round-trip interrupts the jit.
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PartySecrets:
+    """All parties' additive shares stacked on a leading party axis."""
+    s: jnp.ndarray          # (P, L, N) eval domain
+    s_shoup: jnp.ndarray    # (P, L, N)
+
+    @property
+    def n_parties(self) -> int:
+        return self.s.shape[0]
+
+    def party(self, i: int) -> SecretKey:
+        return SecretKey(s=self.s[i], s_shoup=self.s_shoup[i])
+
+
+def stack_keys(keys) -> jnp.ndarray:
+    """Stack a list of PRNG keys into a (P,)-shaped key array."""
+    return jax.random.wrap_key_data(
+        jnp.stack([jax.random.key_data(k) for k in keys]))
+
+
+def _shoup_dev(ctx: CkksContext, w: jnp.ndarray) -> jnp.ndarray:
+    """Device-side Shoup companions for residues (..., L_live, N)."""
+    L = w.shape[-2]
+    q = ctx.q[:L, None]
+    mu = ctx.mu[:L, None]
+    k32 = jnp.asarray(np.array([(1 << 32) // m
+                                for m in ctx.params.moduli[:L]],
+                               dtype=np.uint32))[:, None]
+    return modops.shoup_device(w, q, mu, k32, ctx.pow32[:L, None])
+
+
+@functools.partial(jax.jit, static_argnames=("n_parties", "seed"))
+def _multiparty_keygen_impl(ctx: CkksContext, n_parties: int, seed: int):
+    n, L = ctx.ring_dim, ctx.num_limbs
+    q = ctx.q
+    qb = q[:, None]
+    # Same per-party PRNG streams as party_secret / the pk chain.
+    s_coef = jnp.stack([
+        lift_signed(ternary_coeffs(jax.random.key(seed * 1000 + i), (n,)), q)
+        for i in range(n_parties)])                     # (P, L, N)
+    s_hat = ntt_mod.ntt(s_coef, ctx.tables)
+
+    k_a, k_e0 = jax.random.split(jax.random.key(seed * 7 + 1))
+    e_keys = [k_e0] + [jax.random.key(seed * 7 + 1 + i)
+                       for i in range(1, n_parties)]
+    a = uniform_mod_q(k_a, (L, n), ctx)
+    e_coef = jnp.stack([lift_signed(cbd_coeffs(k, (n,)), q)
+                        for k in e_keys])               # (P, L, N)
+    e_hat = ntt_mod.ntt(e_coef, ctx.tables)
+
+    a_s = modops.mul_mod(a[None], s_hat, qb, ctx.mu[:, None])
+    terms = modops.add_mod(modops.neg_mod(a_s, qb), e_hat, qb)
+    b = terms[0]
+    for i in range(1, n_parties):
+        b = modops.add_mod(b, terms[i], qb)             # chain order
+
+    return (PartySecrets(s=s_hat, s_shoup=_shoup_dev(ctx, s_hat)),
+            PublicKey(p0=b, p0_shoup=_shoup_dev(ctx, b),
+                      p1=a, p1_shoup=_shoup_dev(ctx, a)))
+
+
+def multiparty_keygen_batched(ctx: CkksContext, n_parties: int,
+                              seed: int = 0
+                              ) -> tuple[PartySecrets, PublicKey]:
+    """The full chained-keygen ceremony (mkhe.cpp:268-304) as ONE jitted
+    dispatch. Produces residues identical to multiparty_keygen(ctx,
+    n_parties, seed) — the chain order of additions and every party's PRNG
+    stream are preserved."""
+    return _multiparty_keygen_impl(ctx, n_parties, seed)
+
+
+def _partials_impl(ctx: CkksContext, secrets: PartySecrets,
+                   data: jnp.ndarray, rng_keys) -> jnp.ndarray:
+    """(P, chunks, live, N) partial decryptions; party 0 is the lead."""
+    live = data.shape[-2]
+    qb = ctx.q[:live, None]
+    c0, c1 = data[:, 0], data[:, 1]
+    s = secrets.s[:, None, :live]                       # (P, 1, live, N)
+    s_sh = secrets.s_shoup[:, None, :live]
+    t = modops.mul_mod_shoup(c1[None], s, s_sh, qb)     # (P, chunks, live, N)
+    e = jax.vmap(lambda k: _smudge(ctx, k, data.shape[0], live))(rng_keys)
+    parts = modops.add_mod(t, e, qb)
+    lead = modops.add_mod(parts[0], c0, qb)
+    return jnp.concatenate([lead[None], parts[1:]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _threshold_decrypt_impl(ctx: CkksContext, secrets: PartySecrets,
+                            data: jnp.ndarray, rng_keys, scale: float):
+    live = data.shape[-2]
+    qb = ctx.q[:live, None]
+    parts = _partials_impl(ctx, secrets, data, rng_keys)
+    acc = parts[0]
+    for i in range(1, parts.shape[0]):
+        acc = modops.add_mod(acc, parts[i], qb)
+    coeffs = ntt_mod.intt(acc, ctx.tables.slice_limbs(0, live))
+    from . import encoding
+    return encoding.decode_coeff(ctx, coeffs, scale)
+
+
+def threshold_decrypt(ctx: CkksContext, secrets: PartySecrets,
+                      ct: ckks_ops.Ciphertext, rng_keys) -> jnp.ndarray:
+    """All parties' MultipartyDecryptLead/Main + MultipartyDecryptFusion
+    (mkhe.cpp:392-402) as ONE jitted dispatch: the party axis is stacked
+    (one Shoup modmul batch), the fusion sum and decode fuse in. rng_keys
+    is a (P,)-shaped key array (stack_keys); party 0 takes the lead role.
+    Residue-identical to the per-party partial_decrypt_* + fuse_decrypt
+    path under the same keys."""
+    return _threshold_decrypt_impl(ctx, secrets, ct.data, rng_keys,
+                                   float(ct.scale))
+
+
+def partial_decrypt_stacked(ctx: CkksContext, secrets: PartySecrets,
+                            ct: ckks_ops.Ciphertext, rng_keys
+                            ) -> jnp.ndarray:
+    """The (P, chunks, live, N) stack of partial decryptions (unfused) —
+    what each party would publish; exposed for protocol tests."""
+    return jax.jit(_partials_impl)(ctx, secrets, ct.data, rng_keys)
+
+
+@functools.partial(jax.jit, static_argnames=("common_seed", "seed"))
+def _multiparty_relin_impl(ctx: CkksContext, secrets: PartySecrets,
+                           common_seed: int, seed: int):
+    n = ctx.ring_dim
+    L = ctx.num_limbs
+    chain = ctx.params.chain_len
+    P = secrets.s.shape[0]
+    q = ctx.q
+    qb = q[:, None]
+    p_mod, p_mod_shoup, _, _ = ks_mod._ks_consts(ctx.params)
+
+    # Round 1 (MultiKeySwitchGen): common rows from the shared seed,
+    # per-party payload P*s_i on the gadget diagonal.
+    a = uniform_mod_q(jax.random.key(common_seed), (chain, L, n), ctx)
+    e1_coef = jnp.stack([
+        lift_signed(cbd_coeffs(jax.random.key(seed * 31 + 1 + i),
+                               (chain, n)), q)
+        for i in range(P)])                             # (P, chain, L, N)
+    e1_hat = ntt_mod.ntt(e1_coef, ctx.tables)
+    s = secrets.s[:, None]                              # (P, 1, L, N)
+    s_sh = secrets.s_shoup[:, None]
+    a_s = modops.mul_mod_shoup(a[None], s, s_sh, qb)
+    b = modops.add_mod(modops.neg_mod(a_s, qb), e1_hat, qb)
+    pt = modops.mul_mod_shoup(
+        secrets.s[:, :chain], jnp.asarray(p_mod)[:, None],
+        jnp.asarray(p_mod_shoup)[:, None], qb[:chain])  # (P, chain, N)
+    eye = jnp.eye(chain, L, dtype=_U32)[:, :, None]
+    b = modops.add_mod(b, pt[:, :, None, :] * eye[None], qb)
+    d_b = b[0]
+    for i in range(1, P):
+        d_b = modops.add_mod(d_b, b[i], qb)             # MultiAddEvalKeys
+
+    # Round 2 (MultiMultEvalKey): each party multiplies both rows of the
+    # combined round-1 key by its s_i and re-randomizes.
+    def noise(key):
+        return ntt_mod.ntt(
+            lift_signed(cbd_coeffs(key, (chain, n)), q), ctx.tables)
+
+    r2_keys = [jax.random.split(jax.random.key(seed * 37 + 101 + i))
+               for i in range(P)]
+    b2 = modops.add_mod(
+        modops.mul_mod_shoup(d_b[None], s, s_sh, qb),
+        jnp.stack([noise(k0) for k0, _ in r2_keys]), qb)
+    a2 = modops.add_mod(
+        modops.mul_mod_shoup(a[None], s, s_sh, qb),
+        jnp.stack([noise(k1) for _, k1 in r2_keys]), qb)
+    rb, ra = b2[0], a2[0]
+    for i in range(1, P):
+        rb = modops.add_mod(rb, b2[i], qb)
+        ra = modops.add_mod(ra, a2[i], qb)
+    return ks_mod.KSwitchKey(b=rb, b_shoup=_shoup_dev(ctx, rb),
+                             a=ra, a_shoup=_shoup_dev(ctx, ra))
+
+
+def multiparty_relin_key_batched(ctx: CkksContext, secrets: PartySecrets,
+                                 common_seed: int = 0,
+                                 seed: int = 0) -> ks_mod.KSwitchKey:
+    """The two-round joint relinearization ceremony (MultiKeySwitchGen +
+    MultiMultEvalKey + MultiAddEvalMultKeys, mkhe.cpp:281-317) as ONE
+    jitted dispatch. Residue-identical to multiparty_relin_key under the
+    same seeds."""
+    return _multiparty_relin_impl(ctx, secrets, common_seed, seed)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "common_seed"))
+def _multiparty_galois_impl(ctx: CkksContext, secrets: PartySecrets,
+                            g: int, common_seed: int, rng_keys):
+    n = ctx.ring_dim
+    L = ctx.num_limbs
+    chain = ctx.params.chain_len
+    P = secrets.s.shape[0]
+    q = ctx.q
+    qb = q[:, None]
+    p_mod, p_mod_shoup, _, _ = ks_mod._ks_consts(ctx.params)
+
+    a = uniform_mod_q(jax.random.key(common_seed), (chain, L, n), ctx)
+    e_hat = ntt_mod.ntt(
+        jax.vmap(lambda k: lift_signed(cbd_coeffs(k, (chain, n)), q))(
+            rng_keys), ctx.tables)
+    s = secrets.s[:, None]
+    s_sh = secrets.s_shoup[:, None]
+    a_s = modops.mul_mod_shoup(a[None], s, s_sh, qb)
+    b = modops.add_mod(modops.neg_mod(a_s, qb), e_hat, qb)
+    s_g = jax.vmap(lambda si: ks_mod.automorphism(si, n, g))(secrets.s)
+    pt = modops.mul_mod_shoup(
+        s_g[:, :chain], jnp.asarray(p_mod)[:, None],
+        jnp.asarray(p_mod_shoup)[:, None], qb[:chain])
+    eye = jnp.eye(chain, L, dtype=_U32)[:, :, None]
+    b = modops.add_mod(b, pt[:, :, None, :] * eye[None], qb)
+    jb = b[0]
+    for i in range(1, P):
+        jb = modops.add_mod(jb, b[i], qb)
+    return ks_mod.KSwitchKey(b=jb, b_shoup=_shoup_dev(ctx, jb),
+                             a=a, a_shoup=_shoup_dev(ctx, a))
+
+
+def multiparty_galois_key_batched(ctx: CkksContext, secrets: PartySecrets,
+                                  g: int, common_seed: int,
+                                  rng_keys) -> ks_mod.KSwitchKey:
+    """Joint Galois/eval-sum key ceremony (MultiEvalSumKeyGen +
+    MultiAddEvalKeys, mkhe.cpp:305-317) as ONE jitted dispatch. rng_keys
+    is a (P,)-shaped key array. Residue-identical to per-party
+    partial_galois_key + combine_switch_key_shares under the same keys."""
+    return _multiparty_galois_impl(ctx, secrets, g, common_seed, rng_keys)

@@ -129,6 +129,44 @@ def mul_mod(x, y, q, mu):
     return r
 
 
+def mul_div(x, y, q, mu):
+    """Exact floor(x * y / q) for x, y < q < 2**31, on device.
+
+    Runs mul_mod's Barrett estimate but returns the exact QUOTIENT instead
+    of the remainder, tracking every correction: the 2q subtraction of the
+    r_hi branch adds 2 to the quotient, each conditional q subtraction
+    adds 1. Building block for shoup_device."""
+    hi, lo = mul_wide(x, y)
+    a = (hi << 2) | (lo >> 30)
+    k = mul_hi(a, mu)
+    kq_hi, kq_lo = mul_wide(k, q)
+    borrow = (lo < kq_lo).astype(U32)
+    r = lo - kq_lo
+    r_hi = hi - kq_hi - borrow
+    k = jnp.where(r_hi > 0, k + 2, k)
+    r = jnp.where(r_hi > 0, r - (q << 1), r)
+    for _ in range(3):
+        ge = r >= q
+        k = jnp.where(ge, k + 1, k)
+        r = jnp.where(ge, r - q, r)
+    return k
+
+
+def shoup_device(w, q, mu, k32, pow32):
+    """Device-side Shoup companion: floor(w * 2**32 / q) for w < q.
+
+    Decompose 2**32 = k32*q + pow32 (k32 = floor(2**32/q) in {2, 3} for
+    31-bit q, pow32 = 2**32 mod q — both already in CkksContext-style
+    constants), so
+
+        floor(w * 2**32 / q) = w*k32 + floor(w*pow32 / q)
+
+    computed mod 2**32 (the true value fits u32 since w < q). Removes the
+    host round-trip of shoup_precompute from jitted key ceremonies
+    (threshold CKKS multiparty keygen / joint relin)."""
+    return (w * k32 + mul_div(w, pow32, q, mu)).astype(U32)
+
+
 def pow_mod_host(base: int, exp: int, q: int) -> int:
     return pow(base, exp, q)
 

@@ -90,3 +90,38 @@ def test_mul_mod_barrett_edge_values():
                              jnp.uint32(q), jnp.uint32(mu))
         want = (xs.astype(np.uint64) * ys % q).astype(np.uint32)
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_mul_div_exact_quotient():
+    rng = np.random.default_rng(4)
+    for q in primes.ntt_primes(4096, 3):
+        mu = modops.barrett_precompute(q)
+        x = _rand_u32_below(rng, q, 8192)
+        y = _rand_u32_below(rng, q, 8192)
+        got = modops.mul_div(jnp.asarray(x), jnp.asarray(y),
+                             jnp.uint32(q), jnp.uint32(mu))
+        want = (x.astype(np.uint64) * y // q).astype(np.uint32)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        # edges
+        xs = np.array([0, 1, q - 1, q - 2, q // 2], dtype=np.uint32)
+        ys = np.array([q - 1, 0, q - 1, q - 2, q // 2], dtype=np.uint32)
+        got = modops.mul_div(jnp.asarray(xs), jnp.asarray(ys),
+                             jnp.uint32(q), jnp.uint32(mu))
+        want = (xs.astype(np.uint64) * ys // q).astype(np.uint32)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_shoup_device_matches_host():
+    """Device-side Shoup companion == host shoup_precompute, all limbs."""
+    rng = np.random.default_rng(5)
+    for q in primes.ntt_primes(4096, 3):
+        mu = modops.barrett_precompute(q)
+        k32 = (1 << 32) // q
+        p32 = (1 << 32) % q
+        w = _rand_u32_below(rng, q, 8192)
+        w = np.concatenate([w, np.array([0, 1, q - 1, q // 2], np.uint32)])
+        got = modops.shoup_device(jnp.asarray(w), jnp.uint32(q),
+                                  jnp.uint32(mu), jnp.uint32(k32),
+                                  jnp.uint32(p32))
+        want = modops.shoup_precompute(w, q)
+        np.testing.assert_array_equal(np.asarray(got), want)

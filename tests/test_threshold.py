@@ -184,3 +184,77 @@ def test_smudging_hides_partial(setup):
     # parties' secrets and carries wide smudging noise)
     got = np.asarray(T.fuse_decrypt(ctx, [part], ct.scale))
     assert np.abs(got).max() > 1.0
+
+
+# ---------------------------------------------------------------------------
+# Batched/jitted ceremony fast path: must be residue-identical to the
+# per-party protocol functions under the same seeds/keys.
+# ---------------------------------------------------------------------------
+
+def test_batched_keygen_matches_chain(setup):
+    ctx, sks, pk = setup
+    sec, pk2 = T.multiparty_keygen_batched(ctx, PARTIES, seed=3)
+    for i in range(PARTIES):
+        np.testing.assert_array_equal(np.asarray(sec.s[i]),
+                                      np.asarray(sks[i].s))
+        np.testing.assert_array_equal(np.asarray(sec.s_shoup[i]),
+                                      np.asarray(sks[i].s_shoup))
+    np.testing.assert_array_equal(np.asarray(pk2.p0), np.asarray(pk.p0))
+    np.testing.assert_array_equal(np.asarray(pk2.p1), np.asarray(pk.p1))
+    np.testing.assert_array_equal(np.asarray(pk2.p0_shoup),
+                                  np.asarray(pk.p0_shoup))
+
+
+def test_batched_threshold_decrypt_matches_partials(setup):
+    ctx, sks, pk = setup
+    sec, _ = T.multiparty_keygen_batched(ctx, PARTIES, seed=3)
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal((2, N)).astype(np.float32)
+    ct = O.encrypt(ctx, pk, jnp.asarray(v), jax.random.key(5))
+    keys = [jax.random.key(10 + i) for i in range(PARTIES)]
+    parts = [T.partial_decrypt_lead(ctx, sks[0], ct, keys[0])]
+    parts += [T.partial_decrypt_main(ctx, sk, ct, keys[1 + i])
+              for i, sk in enumerate(sks[1:])]
+    want = np.asarray(T.fuse_decrypt(ctx, parts, ct.scale))
+    stacked_keys = T.stack_keys(keys)
+    got = np.asarray(T.threshold_decrypt(ctx, sec, ct, stacked_keys))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_allclose(got, v, atol=2e-3)
+    # per-party shares identical too
+    stacked = np.asarray(
+        T.partial_decrypt_stacked(ctx, sec, ct, stacked_keys))
+    for i in range(PARTIES):
+        np.testing.assert_array_equal(stacked[i], np.asarray(parts[i]))
+
+
+def test_batched_relin_matches_two_round_ceremony():
+    p = P.make_params(batch=128, scale_bits=40, mult_depth=2, ring_dim=N)
+    ctx = P.make_context(p)
+    sks, pk = T.multiparty_keygen(ctx, PARTIES, seed=11)
+    sec, _ = T.multiparty_keygen_batched(ctx, PARTIES, seed=11)
+    rlk_seq = T.multiparty_relin_key(ctx, sks, common_seed=5, seed=11)
+    rlk_bat = T.multiparty_relin_key_batched(ctx, sec, common_seed=5,
+                                             seed=11)
+    np.testing.assert_array_equal(np.asarray(rlk_bat.b),
+                                  np.asarray(rlk_seq.b))
+    np.testing.assert_array_equal(np.asarray(rlk_bat.a),
+                                  np.asarray(rlk_seq.a))
+    np.testing.assert_array_equal(np.asarray(rlk_bat.b_shoup),
+                                  np.asarray(rlk_seq.b_shoup))
+
+
+def test_batched_galois_matches_shares(setup):
+    ctx, sks, pk = setup
+    sec, _ = T.multiparty_keygen_batched(ctx, PARTIES, seed=3)
+    g = KS.galois_element(1, N)
+    shares = [T.partial_galois_key(ctx, sk, g, common_seed=77,
+                                   rng_key=jax.random.key(40 + i))
+              for i, sk in enumerate(sks)]
+    gk_seq = T.combine_switch_key_shares(ctx, shares)
+    gk_bat = T.multiparty_galois_key_batched(
+        ctx, sec, g, 77,
+        T.stack_keys([jax.random.key(40 + i) for i in range(PARTIES)]))
+    np.testing.assert_array_equal(np.asarray(gk_bat.b),
+                                  np.asarray(gk_seq.b))
+    np.testing.assert_array_equal(np.asarray(gk_bat.a),
+                                  np.asarray(gk_seq.a))
