@@ -52,6 +52,16 @@ def append_jsonl(name: str, record: dict) -> str:
     return path
 
 
+def rewrite_jsonl(name: str, records: list[dict]) -> str:
+    """Replace a results file with exactly `records` — for benches whose
+    committed file should hold only the measured pass (no warm-up rows)."""
+    path = os.path.join(results_dir(), name)
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return path
+
+
 def fake_client_params(n_params: int, n_clients: int, seed: int = 0
                        ) -> list[np.ndarray]:
     rng = np.random.default_rng(seed)
