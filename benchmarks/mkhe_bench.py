@@ -66,15 +66,19 @@ def run_single_key(model_size: int, ctx, batch: int) -> dict:
 def run_threshold(model_size: int, client_size: int, ctx,
                   batch: int) -> dict:
     """RunCKKS (mkhe.cpp:188-465): chained keygen, joint encrypt, eval,
-    per-party partial decrypt + fusion."""
+    per-party partial decrypt + fusion — all via the batched/jitted
+    ceremonies (threshold.py), one dispatch each; the per-party protocol
+    functions are residue-identical (tests/test_threshold.py) but eager,
+    which through the remote-TPU tunnel costs ~25 ms per op."""
     t0 = time.time()
-    sks, pk = T.multiparty_keygen(ctx, client_size, seed=1)
+    sec, pk = T.multiparty_keygen_batched(ctx, client_size, seed=1)
+    jax.block_until_ready(pk.p0)
     t_keygen = time.time() - t0
 
     # joint eval-mult key: the two-round MultiKeySwitchGen /
     # MultiMultEvalKey / MultiAddEvalMultKeys ceremony (mkhe.cpp:281-317)
     t0 = time.time()
-    rlk = T.multiparty_relin_key(ctx, sks, common_seed=2, seed=1)
+    rlk = T.multiparty_relin_key_batched(ctx, sec, common_seed=2, seed=1)
     jax.block_until_ready(rlk.b)
     t_evalkey = time.time() - t0
 
@@ -100,11 +104,14 @@ def run_threshold(model_size: int, client_size: int, ctx,
     jax.block_until_ready(sq.data)
     t_mul_relin = time.time() - t0
 
+    # MultipartyDecryptLead/Main + Fusion (mkhe.cpp:392-402): all parties'
+    # partials + fusion + decode as ONE dispatch (same keys as the
+    # per-party path: lead key 10, mains 11+i).
+    dec_keys = T.stack_keys(
+        [jax.random.key(10)] + [jax.random.key(11 + i)
+                                for i in range(client_size - 1)])
     t0 = time.time()
-    parts = [T.partial_decrypt_lead(ctx, sks[0], h, jax.random.key(10))]
-    parts += [T.partial_decrypt_main(ctx, sk, h, jax.random.key(11 + i))
-              for i, sk in enumerate(sks[1:])]
-    out = np.asarray(T.fuse_decrypt(ctx, parts, h.scale))
+    out = np.asarray(T.threshold_decrypt(ctx, sec, h, dec_keys))
     t_dec = time.time() - t0
     err = np.abs(out[:, :batch].reshape(-1)[:model_size] - v).max()
     return {"mode": "threshold", "parties": client_size,
@@ -128,16 +135,19 @@ def main(argv=None):
 
     # Warmup pass compiles everything (untimed — the reference's mkhe is AOT
     # C++, mkhe.cpp:64-90 chrono around already-compiled calls), then the
-    # measured pass runs with warm executables.
+    # measured pass runs with warm executables. Only measured rows are
+    # written: the committed jsonl is REWRITTEN, never appended, so stale
+    # or warm-up rows cannot sit next to the quoted numbers.
     run_single_key(model_size, ctx, batch)
     run_threshold(model_size, client_size, ctx, batch)
     single = run_single_key(model_size, ctx, batch)
     multi = run_threshold(model_size, client_size, ctx, batch)
     for r in (single, multi):
         r.update(model_size=model_size, ring_dim=params.ring_dim,
-                 backend=jax.default_backend())
-        append_jsonl("mkhe_bench.jsonl", r)
+                 pass_="measured", backend=jax.default_backend())
         print(r)
+    from .common import rewrite_jsonl
+    rewrite_jsonl("mkhe_bench.jsonl", [single, multi])
     return single, multi
 
 
