@@ -109,16 +109,25 @@ def main():
 
     # Init: context build + key load (the reference's measured Init is
     # loadCryptoParams — deserialize context/keys from files, ckks.cpp:11-23,
-    # 0.16-0.20 s in nvidia_results.txt).
-    t0 = time.time()
-    params = P.make_params(batch=4096, scale_bits=52, mult_depth=1)
-    ctx = P.make_context(params)
-    with open(SK_PATH, "rb") as f:
-        sk = S.deserialize_secret_key(f.read())
-    with open(PK_PATH, "rb") as f:
-        pk = S.deserialize_public_key(f.read())
-    jax.block_until_ready((ctx.tables.tab, sk.s, pk.p0))
-    init_s = time.time() - t0
+    # 0.16-0.20 s in nvidia_results.txt). Measured twice and reported split
+    # (VERDICT r3 item 5): the FIRST pass on a cold persistent cache also
+    # compiles the batched-transfer unpack programs (devput.py) — that is
+    # first-compile, the reference's analogue being its AOT C++ build, not
+    # its Init. The second pass (warm executables, same file reads + host
+    # work + transfers) is the number comparable to loadCryptoParams.
+    def run_init():
+        t0 = time.time()
+        params = P.make_params(batch=4096, scale_bits=52, mult_depth=1)
+        ctx = P.make_context(params)
+        with open(SK_PATH, "rb") as f:
+            sk = S.deserialize_secret_key(f.read())
+        with open(PK_PATH, "rb") as f:
+            pk = S.deserialize_public_key(f.read())
+        jax.block_until_ready((ctx.tables.tab, sk.s, pk.p0))
+        return time.time() - t0, params, ctx, sk, pk
+
+    init_first_s, *_ = run_init()
+    init_s, params, ctx, sk, pk = run_init()
 
     cap = params.ring_dim if DENSE_PACK else params.batch
     chunks = -(-CNN_PARAMS // cap)
@@ -241,7 +250,10 @@ def main():
         "value": round(total, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_S / total, 2),
-        "phases": {"init": round(init_s, 4), "encrypt": round(enc_s, 4),
+        "phases": {"init": round(init_s, 4),
+                   "init_warm_load": round(init_s, 4),
+                   "init_first_incl_compile": round(init_first_s, 4),
+                   "encrypt": round(enc_s, 4),
                    "aggregate": round(agg_s, 4), "decrypt": round(dec_s, 4),
                    "encrypt_publickey": round(enc_pk_s, 4),
                    "round_fused_1dispatch": round(fused_s, 4),
