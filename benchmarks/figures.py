@@ -9,8 +9,13 @@ BASELINE.md):
                   (processing.py / processing_comp.py)
   comm.pdf        communication expansion per model (processing_comm.py)
   round_pie.pdf   FL-round phase composition (processing_pie*.py)
-  selective.pdf   ciphertext bytes vs encryption rate (processing_comm
-                  selective series)
+  selective.pdf   per-model ciphertext bytes + device round time vs
+                  encryption rate (processing_comm selective series),
+                  seeded-upload series dashed
+  bandwidth_bar.pdf  round time vs link bandwidth (MAR/SAR/IB stacked
+                  bars, processing_comm_bar.py family) derived from
+                  measured phase times + measured ct bytes, for full /
+                  seeded / 10%-selective / plaintext uploads
 
 Usage: python -m benchmarks.figures [--out results/figs]
 """
@@ -118,22 +123,82 @@ def main(argv=None):
     plt.close(fig)
 
     # -- selective ---------------------------------------------------------
-    fig, ax = plt.subplots(figsize=(6, 4))
+    # bytes-vs-rate (left) and device round-time-vs-rate (right) per model,
+    # overlaying the reference's published BERT byte series
+    # (processing_comm.py:81-107).
+    sel = [r for r in _load_jsonl("selective.jsonl")
+           if r.get("path", "fused_cohort") == "fused_cohort"]
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
     rates = sorted(REF_SELECTIVE_BERT)
-    ax.plot(rates, [REF_SELECTIVE_BERT[r] for r in rates], "o-",
-            label="reference BERT (published)")
-    sel = [r for r in _load_jsonl("selective.jsonl")]
-    if sel:
-        by_rate = sorted((r["rate"], r["ct_bytes"]) for r in sel)
-        ax.plot([r for r, _ in by_rate], [b for _, b in by_rate], "s-",
-                label=f"ours ({sel[0].get('model', '?')})")
-    ax.set_xlabel("encryption rate")
-    ax.set_ylabel("ciphertext bytes")
-    ax.set_yscale("log")
-    ax.legend()
+    axes[0].plot(rates, [REF_SELECTIVE_BERT[r] for r in rates], "o--",
+                 color="gray", label="reference BERT (published)")
+    sel_models = sorted({r["model"] for r in sel})
+    for m in sel_models:
+        rows = sorted((r["rate"], r) for r in sel if r["model"] == m)
+        axes[0].plot([rr for rr, _ in rows],
+                     [r["ct_bytes"] for _, r in rows], "s-",
+                     label=f"ours {m}")
+        axes[0].plot([rr for rr, _ in rows],
+                     [r["ct_bytes_seeded"] for _, r in rows], "s:",
+                     alpha=0.6, label=f"ours {m} (seeded)")
+        axes[1].plot([rr for rr, _ in rows],
+                     [r["round_s"] for _, r in rows], "s-", label=m)
+    axes[0].set_xlabel("encryption rate")
+    axes[0].set_ylabel("ciphertext bytes / client upload")
+    axes[0].set_yscale("log")
+    axes[0].legend(fontsize=7)
+    axes[1].set_xlabel("encryption rate")
+    axes[1].set_ylabel("device round time (s)")
+    axes[1].set_yscale("log")
+    if sel_models:
+        axes[1].legend(fontsize=7)
     fig.tight_layout()
     fig.savefig(os.path.join(args.out, "selective.pdf"))
     plt.close(fig)
+
+    # -- bandwidth sensitivity (processing_comm_bar.py:8-22 family) -------
+    # Round time = measured crypto phases + ct_bytes/bandwidth (up + down),
+    # at the reference's three implied link speeds (derived from its
+    # published comm seconds / CNN ct bytes: 221.7 MB / 103.713 s etc.).
+    bw = {"MAR": 2.14e6, "SAR": 81.1e6, "IB": 701e6}   # bytes/s
+    cnn_sel = {r["rate"]: r for r in sel if r["model"] == "cnn_fedavg"}
+    cnn_row = ours.get("cnn_fedavg")
+    if cnn_row and 1.0 in cnn_sel:
+        full = cnn_sel[1.0]
+        per_client_ct = full["ct_bytes"]          # per-client upload
+        comp_s = cnn_sel[1.0]["round_s"]
+        variants = {
+            "full enc": (per_client_ct, per_client_ct, comp_s),
+            "seeded up": (full["ct_bytes_seeded"], per_client_ct, comp_s),
+        }
+        if 0.1 in cnn_sel:
+            s10 = cnn_sel[0.1]
+            b10 = s10["ct_bytes"] + s10["plain_bytes"]
+            variants["10% selective"] = (b10, b10, s10["round_s"])
+        variants["plaintext"] = (cnn_row["plain_bytes"]
+                                 / cnn_row["clients"],
+                                 cnn_row["plain_bytes"]
+                                 / cnn_row["clients"], 0.001)
+        labels, comm_s, rest_s = [], [], []
+        for name, (up, down, comp) in variants.items():
+            for link, speed in bw.items():
+                labels.append(f"{link}\n{name}")
+                comm_s.append((up + down) / speed)
+                rest_s.append(comp)
+        xpos = np.arange(len(labels))
+        fig, ax = plt.subplots(figsize=(11, 4))
+        ax.bar(xpos, rest_s, color="tab:green", label="crypto phases")
+        ax.bar(xpos, comm_s, bottom=rest_s, color="tab:red",
+               label="communication")
+        ax.set_xticks(xpos, labels, fontsize=7)
+        ax.set_ylabel("round time (s)")
+        ax.set_yscale("log")
+        ax.set_title("CNN 1.66M round vs link bandwidth "
+                     "(measured phases + bytes/bandwidth)")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.out, "bandwidth_bar.pdf"))
+        plt.close(fig)
 
     made = sorted(os.listdir(args.out))
     print("wrote", ", ".join(made), "to", args.out)

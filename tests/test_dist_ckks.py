@@ -149,6 +149,7 @@ def test_full_step_and_collectives(setup):
     assert "all-to-all" in hlo, "NTT stage exchange must be an all-to-all"
 
 
+@pytest.mark.slow
 def test_sharded_round_n65536():
     """The ring that genuinely exceeds one chip: at N=65536 the working set
     of one NTT batch at production limb counts (~chunks x L x 256 KiB

@@ -154,6 +154,7 @@ def test_joint_relin_two_round_ceremony():
     np.testing.assert_allclose(got2, want, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_threshold_production_ring():
     """Threshold flow at the production point (batch 4096 / scale 2^52 /
     ring 8192 — binding.cpp:19-23 defaults), not just toy rings: chained
