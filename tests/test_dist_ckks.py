@@ -46,6 +46,7 @@ def setup():
     return params, ctx, sk, sk_d, dt, ds
 
 
+@pytest.mark.slow
 def test_sharded_round_bit_exact_vs_onchip(setup):
     params, ctx, sk, sk_d, dt, ds = setup
     n = params.ring_dim
