@@ -7,6 +7,7 @@ encrypt/aggregate/decrypt, and mesh-sharded aggregation.
 """
 
 from .fed.api import CKKS
+from .fed.threshold_api import ThresholdCKKS
 from .fed.scheme import Scheme, get_scheme, register_scheme
 from .fed.fedavg import (fhe_fedavg, plain_fedavg, flatten_params,
                          unflatten_params, SelectivePolicy)
@@ -17,7 +18,7 @@ from .ckks import keys, ops, serial, encoding, keyswitch, slots
 __version__ = "0.1.0"
 
 __all__ = [
-    "CKKS", "Masking", "Scheme", "get_scheme", "register_scheme",
+    "CKKS", "ThresholdCKKS", "Masking", "Scheme", "get_scheme", "register_scheme",
     "fhe_fedavg", "plain_fedavg", "flatten_params", "unflatten_params",
     "SelectivePolicy",
     "make_params", "make_context", "CkksParams", "CkksContext",
