@@ -124,9 +124,11 @@ def run_threshold(model_size: int, client_size: int, ctx,
 
 
 def main(argv=None):
+    """mk-test parity: `mkhe_bench <model_size> <client_size>...` — one
+    single-key pass plus a threshold pass per requested party count."""
     argv = argv if argv is not None else sys.argv[1:]
     model_size = int(argv[0]) if argv else 100_000
-    client_size = int(argv[1]) if len(argv) > 1 else 3
+    client_sizes = [int(a) for a in argv[1:]] or [3]
     batch = 4096
     # depth 2 / ~51-bit scale mirror of genCryptoContextCKKS at
     # mkhe.cpp:204-215
@@ -139,16 +141,18 @@ def main(argv=None):
     # written: the committed jsonl is REWRITTEN, never appended, so stale
     # or warm-up rows cannot sit next to the quoted numbers.
     run_single_key(model_size, ctx, batch)
-    run_threshold(model_size, client_size, ctx, batch)
     single = run_single_key(model_size, ctx, batch)
-    multi = run_threshold(model_size, client_size, ctx, batch)
-    for r in (single, multi):
+    rows = [single]
+    for client_size in client_sizes:
+        run_threshold(model_size, client_size, ctx, batch)
+        rows.append(run_threshold(model_size, client_size, ctx, batch))
+    for r in rows:
         r.update(model_size=model_size, ring_dim=params.ring_dim,
                  pass_="measured", backend=jax.default_backend())
         print(r)
     from .common import rewrite_jsonl
-    rewrite_jsonl("mkhe_bench.jsonl", [single, multi])
-    return single, multi
+    rewrite_jsonl("mkhe_bench.jsonl", rows)
+    return rows
 
 
 if __name__ == "__main__":
