@@ -534,3 +534,37 @@ def multiparty_galois_key_batched(ctx: CkksContext, secrets: PartySecrets,
     is a (P,)-shaped key array. Residue-identical to per-party
     partial_galois_key + combine_switch_key_shares under the same keys."""
     return _multiparty_galois_impl(ctx, secrets, g, common_seed, rng_keys)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "dec_scale"))
+def _threshold_round_impl(ctx: CkksContext, secrets: PartySecrets,
+                          pk: PublicKey, values: jnp.ndarray, enc_key,
+                          w_res: jnp.ndarray, w_shoup: jnp.ndarray,
+                          dec_keys, scale: float, dec_scale: float):
+    data = ckks_ops._encrypt_stacked_impl(ctx, pk, values, enc_key, scale)
+    agg = ckks_ops._weighted_sum_impl(ctx, data, w_res, w_shoup)
+    return _threshold_decrypt_impl(ctx, secrets, agg, dec_keys, dec_scale)
+
+
+def threshold_round_fused(ctx: CkksContext, secrets: PartySecrets,
+                          pk: PublicKey, values: jnp.ndarray, enc_key,
+                          dec_keys, weights: list[float],
+                          scale: float | None = None) -> jnp.ndarray:
+    """One full THRESHOLD secure-FedAvg round as ONE XLA computation:
+    joint-pk encrypt of all K clients -> fused weighted sum -> all-party
+    partial decrypt + fusion + decode. values (K, chunks, N) f32 ->
+    averaged (chunks, N) f32 on device. The threshold analogue of
+    ops.fedavg_round_fused — no single secret key exists anywhere in the
+    computation; dec_keys is a (P,)-shaped key array of fresh smudging
+    streams."""
+    import numpy as _np
+    from . import encoding as _enc
+    scale = float(ctx.params.scale if scale is None else scale)
+    L = ctx.params.chain_len
+    ds = ckks_ops._scalar_scale(ctx, 0)
+    res_l, shoup_l = zip(*(_enc.encode_scalar(
+        ctx.params.moduli[:L], float(w), ds) for w in weights))
+    return _threshold_round_impl(
+        ctx, secrets, pk, values, enc_key,
+        jnp.asarray(_np.stack(res_l)), jnp.asarray(_np.stack(shoup_l)),
+        dec_keys, scale, scale * ds)

@@ -135,6 +135,21 @@ class ThresholdCKKS(CKKS):
             return dev
         return self._unpack(np.asarray(dev), int(data_dimensions))
 
+    # -- fused one-dispatch threshold round --------------------------------
+
+    def _round_slice(self, packed, scaling_factors, fused: bool):
+        """One (K, chunks, N) slice of a round. fused=True runs joint-pk
+        encrypt -> weighted sum -> threshold decrypt ceremony as ONE XLA
+        computation (threshold.threshold_round_fused) — the threshold
+        analogue of the symmetric fused round, which cannot apply here
+        (no single sk exists)."""
+        if fused and self._secrets is not None:
+            return thr.threshold_round_fused(
+                self.ctx, self._secrets, self._pk, packed,
+                self._next_key(), self._dec_keys(),
+                [float(s) for s in scaling_factors])
+        return super()._round_slice(packed, scaling_factors, fused=False)
+
     # -- per-party protocol surface (deployment shape) ---------------------
 
     def partial_decrypt(self, party: int, learner_data: bytes,

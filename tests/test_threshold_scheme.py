@@ -39,22 +39,33 @@ def test_bytes_path_weighted_average(helper):
     np.testing.assert_allclose(out, want, atol=2e-3)
 
 
-def test_fedavg_round_stages_with_threshold_decrypt(helper, monkeypatch):
-    """fedavg_round must bypass the fused symmetric kernel (there is no
-    single sk to run it with) and still aggregate correctly through
-    pk-encrypt -> fused weighted sum -> threshold decrypt."""
+def test_fedavg_round_uses_threshold_fused_kernel(helper, monkeypatch):
+    """fedavg_round must never touch the single-sk symmetric kernel (no
+    single sk exists); by default it runs the THRESHOLD fused round
+    (joint-pk encrypt -> weighted sum -> decryption ceremony in one XLA
+    computation), and fused=False stages with the threshold decrypt."""
     from fhe_fed_tpu.ckks import ops as ckks_ops
+    from fhe_fed_tpu.ckks import threshold as thr
     monkeypatch.setattr(
         ckks_ops, "fedavg_round_fused",
         lambda *a, **kw: pytest.fail("threshold mode has no single sk — "
                                      "the symmetric fused kernel must not "
                                      "run"))
+    calls = []
+    real = thr.threshold_round_fused
+    monkeypatch.setattr(
+        thr, "threshold_round_fused",
+        lambda *a, **kw: (calls.append(1), real(*a, **kw))[1])
     rng = np.random.default_rng(1)
     w = [0.25, 0.25, 0.5]
     v = [rng.standard_normal(500).astype(np.float32) for _ in range(3)]
+    want = sum(wi * x for wi, x in zip(w, v))
     out = helper.fedavg_round(v, w, 500)
-    np.testing.assert_allclose(
-        out, sum(wi * x for wi, x in zip(w, v)), atol=2e-3)
+    assert calls == [1], "threshold fused round did not run"
+    np.testing.assert_allclose(out, want, atol=2e-3)
+    out_staged = helper.fedavg_round(v, w, 500, fused=False)
+    assert calls == [1]
+    np.testing.assert_allclose(out_staged, want, atol=2e-3)
 
 
 def test_pytree_fedavg_and_selective(helper):
