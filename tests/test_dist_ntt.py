@@ -63,6 +63,7 @@ def test_roundtrip_exact(setup):
     assert np.array_equal(np.asarray(rt), np.asarray(x))
 
 
+@pytest.mark.slow  # also asserted bit-exact by dryrun_multichip phase (b)
 def test_poly_mul_matches_onchip(setup):
     moduli, tb, dt = setup
     ds = D.DistSpec(mesh=_coeff_mesh())

@@ -8,6 +8,8 @@ batch path and the noise-overflow -> inf behavior contract.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # opt-in kernel (FHE_FED_TPU_FUSED_DECODE); default decode covered by test_ckks
 import jax
 import jax.numpy as jnp
 

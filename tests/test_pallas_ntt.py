@@ -5,6 +5,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # opt-in backend (FHE_FED_TPU_PALLAS); default path covered by test_ntt/test_mxu_ntt
+
 from fhe_fed_tpu.rns import primes as primes_mod
 from fhe_fed_tpu.ntt import tables as tables_mod
 from fhe_fed_tpu.ntt import ntt as ntt_mod

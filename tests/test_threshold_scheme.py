@@ -31,10 +31,10 @@ def test_registered_and_no_single_key(helper):
 def test_bytes_path_weighted_average(helper):
     rng = np.random.default_rng(0)
     w = [0.5, 0.2, 0.3]
-    v = [rng.standard_normal(1000).astype(np.float32) for _ in range(3)]
+    v = [rng.standard_normal(500).astype(np.float32) for _ in range(3)]
     blobs = [helper.encrypt(x) for x in v]
     agg = helper.computeWeightedAverage(blobs, w)
-    out = helper.decrypt(agg, 1000)
+    out = helper.decrypt(agg, 500)
     want = sum(wi * x for wi, x in zip(w, v))
     np.testing.assert_allclose(out, want, atol=2e-3)
 
@@ -91,13 +91,13 @@ def test_share_persistence_roundtrip(helper):
     """A fresh instance reloads the joint pk + per-party shares and can
     run the decryption ceremony."""
     rng = np.random.default_rng(3)
-    v = rng.standard_normal(200).astype(np.float32)
+    v = rng.standard_normal(500).astype(np.float32)
     blob = helper.computeWeightedAverage([helper.encrypt(v)], [1.0])
     h2 = ThresholdCKKS("ckks-threshold", batchSize=128,
                        scaleFactorBits=40, cryptodir=helper.cryptodir,
                        parties=3)
     h2.loadCryptoParams()
-    out = h2.decrypt(blob, 200)
+    out = h2.decrypt(blob, 500)
     np.testing.assert_allclose(out, v, atol=2e-3)
     # mismatched party count must refuse to load
     h3 = ThresholdCKKS("ckks-threshold", batchSize=128,
@@ -112,11 +112,11 @@ def test_per_party_protocol_matches_ceremony(helper):
     combines them — agrees with the one-dispatch ceremony."""
     rng = np.random.default_rng(4)
     w = [0.5, 0.2, 0.3]
-    v = [rng.standard_normal(300).astype(np.float32) for _ in range(3)]
+    v = [rng.standard_normal(500).astype(np.float32) for _ in range(3)]
     agg = helper.computeWeightedAverage([helper.encrypt(x) for x in v], w)
     parts = [helper.partial_decrypt(i, agg, rng_key=jax.random.key(70 + i))
              for i in range(3)]
-    out = helper.fuse_partials(parts, agg, 300)
+    out = helper.fuse_partials(parts, agg, 500)
     want = sum(wi * x for wi, x in zip(w, v))
     np.testing.assert_allclose(out, want, atol=2e-3)
 
@@ -124,8 +124,8 @@ def test_per_party_protocol_matches_ceremony(helper):
 def test_single_partial_reveals_nothing(helper):
     """One party's partial decryption alone must not decode to the
     plaintext (smudging + missing shares)."""
-    v = np.zeros(128, dtype=np.float32)
+    v = np.zeros(500, dtype=np.float32)
     blob = helper.computeWeightedAverage([helper.encrypt(v)], [1.0])
     part = helper.partial_decrypt(0, blob, rng_key=jax.random.key(80))
-    out = helper.fuse_partials([part], blob, 128)
+    out = helper.fuse_partials([part], blob, 500)
     assert np.abs(out).max() > 1.0
