@@ -70,12 +70,35 @@ _U32 = jnp.uint32
 # coefficient (~2**20 >> encryption noise sigma~3.2).
 _SMUDGE_BITS = 40
 
+# Domain tags for per-party PRNG stream derivation. Every ceremony stream
+# is fold_in(fold_in(root_key, tag), party): full 128-bit key entropy and
+# structurally disjoint families (no arithmetic seed collisions — the
+# earlier seed*1000+i / seed*7+1+i scheme collided at seed=0).
+_TAG_SECRET, _TAG_PK_A, _TAG_PK_NOISE = 0, 1, 2
+_TAG_RELIN_R1, _TAG_RELIN_R2 = 3, 4
 
-def party_secret(ctx: CkksContext, seed: int) -> SecretKey:
+
+def _root_key(seed):
+    """Accept either an int seed (tests/benchmarks) or a full PRNG key.
+
+    Passing a key preserves all 128 bits of entropy — production keygen
+    (fed/threshold_api.py) does this; int seeds are for reproducible
+    tests. Single-process keygen is SIMULATION-ONLY either way: a real
+    deployment runs the per-party protocol functions on separate machines
+    so no process ever holds more than one share."""
+    if isinstance(seed, (int, np.integer)):
+        return jax.random.key(seed)
+    return seed
+
+
+def _stream(root, tag: int, i: int):
+    return jax.random.fold_in(jax.random.fold_in(root, tag), i)
+
+
+def party_secret(ctx: CkksContext, rng_key) -> SecretKey:
     """One party's additive share s_i (ternary, full limb set)."""
-    k_s = jax.random.key(seed)
     s_hat = ntt_mod.ntt_jit(
-        lift_signed(ternary_coeffs(k_s, (ctx.ring_dim,)), ctx.q),
+        lift_signed(ternary_coeffs(rng_key, (ctx.ring_dim,)), ctx.q),
         ctx.tables)
     return SecretKey(s=s_hat, s_shoup=_shoup_host(s_hat, np.asarray(ctx.q)))
 
@@ -108,14 +131,22 @@ def _extend(ctx, a, b_prev, sk, k_e):
                      p1=a, p1_shoup=_shoup_host(a, q_np))
 
 
-def multiparty_keygen(ctx: CkksContext, n_parties: int, seed: int = 0
+def multiparty_keygen(ctx: CkksContext, n_parties: int, seed=0
                       ) -> tuple[list[SecretKey], PublicKey]:
-    """Full ceremony: returns per-party shares and the joint public key."""
-    sks = [party_secret(ctx, seed * 1000 + i) for i in range(n_parties)]
-    pk = init_public_key(ctx, sks[0], jax.random.key(seed * 7 + 1))
+    """Full ceremony: returns per-party shares and the joint public key.
+
+    `seed` may be an int (reproducible tests) or a full PRNG key
+    (production — all 128 bits reach the shares). Simulation-only: one
+    process holds every share; see _root_key."""
+    root = _root_key(seed)
+    sks = [party_secret(ctx, _stream(root, _TAG_SECRET, i))
+           for i in range(n_parties)]
+    L, n = ctx.num_limbs, ctx.ring_dim
+    a = uniform_mod_q(_stream(root, _TAG_PK_A, 0), (L, n), ctx)
+    pk = _extend(ctx, a, None, sks[0], _stream(root, _TAG_PK_NOISE, 0))
     for i in range(1, n_parties):
         pk = extend_public_key(ctx, pk, sks[i],
-                               jax.random.key(seed * 7 + 1 + i))
+                               _stream(root, _TAG_PK_NOISE, i))
     return sks, pk
 
 
@@ -264,14 +295,17 @@ def combine_relin_shares(ctx: CkksContext,
 
 def multiparty_relin_key(ctx: CkksContext, sks: list[SecretKey],
                          common_seed: int = 0,
-                         seed: int = 0) -> ks_mod.KSwitchKey:
-    """Full two-round joint relin ceremony over all parties."""
+                         seed=0) -> ks_mod.KSwitchKey:
+    """Full two-round joint relin ceremony over all parties. common_seed
+    is the PUBLIC shared seed for the common rows (published by the
+    protocol); `seed` roots the parties' private noise streams."""
+    root = _root_key(seed)
     r1 = [partial_relin_round1(ctx, sk, common_seed,
-                               jax.random.key(seed * 31 + 1 + i))
+                               _stream(root, _TAG_RELIN_R1, i))
           for i, sk in enumerate(sks)]
     d = combine_switch_key_shares(ctx, r1)
     r2 = [partial_relin_round2(ctx, sk, d,
-                               jax.random.key(seed * 37 + 101 + i))
+                               _stream(root, _TAG_RELIN_R2, i))
           for i, sk in enumerate(sks)]
     return combine_relin_shares(ctx, r2)
 
@@ -341,21 +375,19 @@ def _shoup_dev(ctx: CkksContext, w: jnp.ndarray) -> jnp.ndarray:
     return modops.shoup_device(w, q, mu, k32, ctx.pow32[:L, None])
 
 
-@functools.partial(jax.jit, static_argnames=("n_parties", "seed"))
-def _multiparty_keygen_impl(ctx: CkksContext, n_parties: int, seed: int):
+@functools.partial(jax.jit, static_argnames=("n_parties",))
+def _multiparty_keygen_impl(ctx: CkksContext, n_parties: int, root):
     n, L = ctx.ring_dim, ctx.num_limbs
     q = ctx.q
     qb = q[:, None]
     # Same per-party PRNG streams as party_secret / the pk chain.
     s_coef = jnp.stack([
-        lift_signed(ternary_coeffs(jax.random.key(seed * 1000 + i), (n,)), q)
+        lift_signed(ternary_coeffs(_stream(root, _TAG_SECRET, i), (n,)), q)
         for i in range(n_parties)])                     # (P, L, N)
     s_hat = ntt_mod.ntt(s_coef, ctx.tables)
 
-    k_a, k_e0 = jax.random.split(jax.random.key(seed * 7 + 1))
-    e_keys = [k_e0] + [jax.random.key(seed * 7 + 1 + i)
-                       for i in range(1, n_parties)]
-    a = uniform_mod_q(k_a, (L, n), ctx)
+    a = uniform_mod_q(_stream(root, _TAG_PK_A, 0), (L, n), ctx)
+    e_keys = [_stream(root, _TAG_PK_NOISE, i) for i in range(n_parties)]
     e_coef = jnp.stack([lift_signed(cbd_coeffs(k, (n,)), q)
                         for k in e_keys])               # (P, L, N)
     e_hat = ntt_mod.ntt(e_coef, ctx.tables)
@@ -372,13 +404,13 @@ def _multiparty_keygen_impl(ctx: CkksContext, n_parties: int, seed: int):
 
 
 def multiparty_keygen_batched(ctx: CkksContext, n_parties: int,
-                              seed: int = 0
+                              seed=0
                               ) -> tuple[PartySecrets, PublicKey]:
     """The full chained-keygen ceremony (mkhe.cpp:268-304) as ONE jitted
     dispatch. Produces residues identical to multiparty_keygen(ctx,
     n_parties, seed) — the chain order of additions and every party's PRNG
-    stream are preserved."""
-    return _multiparty_keygen_impl(ctx, n_parties, seed)
+    stream are preserved. `seed`: int or full PRNG key (see _root_key)."""
+    return _multiparty_keygen_impl(ctx, n_parties, _root_key(seed))
 
 
 def _partials_impl(ctx: CkksContext, secrets: PartySecrets,
@@ -422,17 +454,20 @@ def threshold_decrypt(ctx: CkksContext, secrets: PartySecrets,
                                    float(ct.scale))
 
 
+_partials_jit = jax.jit(_partials_impl)
+
+
 def partial_decrypt_stacked(ctx: CkksContext, secrets: PartySecrets,
                             ct: ckks_ops.Ciphertext, rng_keys
                             ) -> jnp.ndarray:
     """The (P, chunks, live, N) stack of partial decryptions (unfused) —
     what each party would publish; exposed for protocol tests."""
-    return jax.jit(_partials_impl)(ctx, secrets, ct.data, rng_keys)
+    return _partials_jit(ctx, secrets, ct.data, rng_keys)
 
 
-@functools.partial(jax.jit, static_argnames=("common_seed", "seed"))
+@functools.partial(jax.jit, static_argnames=("common_seed",))
 def _multiparty_relin_impl(ctx: CkksContext, secrets: PartySecrets,
-                           common_seed: int, seed: int):
+                           common_seed: int, root):
     n = ctx.ring_dim
     L = ctx.num_limbs
     chain = ctx.params.chain_len
@@ -445,7 +480,7 @@ def _multiparty_relin_impl(ctx: CkksContext, secrets: PartySecrets,
     # per-party payload P*s_i on the gadget diagonal.
     a = uniform_mod_q(jax.random.key(common_seed), (chain, L, n), ctx)
     e1_coef = jnp.stack([
-        lift_signed(cbd_coeffs(jax.random.key(seed * 31 + 1 + i),
+        lift_signed(cbd_coeffs(_stream(root, _TAG_RELIN_R1, i),
                                (chain, n)), q)
         for i in range(P)])                             # (P, chain, L, N)
     e1_hat = ntt_mod.ntt(e1_coef, ctx.tables)
@@ -468,7 +503,7 @@ def _multiparty_relin_impl(ctx: CkksContext, secrets: PartySecrets,
         return ntt_mod.ntt(
             lift_signed(cbd_coeffs(key, (chain, n)), q), ctx.tables)
 
-    r2_keys = [jax.random.split(jax.random.key(seed * 37 + 101 + i))
+    r2_keys = [jax.random.split(_stream(root, _TAG_RELIN_R2, i))
                for i in range(P)]
     b2 = modops.add_mod(
         modops.mul_mod_shoup(d_b[None], s, s_sh, qb),
@@ -486,12 +521,13 @@ def _multiparty_relin_impl(ctx: CkksContext, secrets: PartySecrets,
 
 def multiparty_relin_key_batched(ctx: CkksContext, secrets: PartySecrets,
                                  common_seed: int = 0,
-                                 seed: int = 0) -> ks_mod.KSwitchKey:
+                                 seed=0) -> ks_mod.KSwitchKey:
     """The two-round joint relinearization ceremony (MultiKeySwitchGen +
     MultiMultEvalKey + MultiAddEvalMultKeys, mkhe.cpp:281-317) as ONE
     jitted dispatch. Residue-identical to multiparty_relin_key under the
-    same seeds."""
-    return _multiparty_relin_impl(ctx, secrets, common_seed, seed)
+    same seeds. `seed`: int or full PRNG key (see _root_key)."""
+    return _multiparty_relin_impl(ctx, secrets, common_seed,
+                                  _root_key(seed))
 
 
 @functools.partial(jax.jit, static_argnames=("g", "common_seed"))

@@ -60,12 +60,15 @@ class ThresholdCKKS(CKKS):
     def genCryptoContextAndKeyGen(self) -> int:
         """Run the full multiparty keygen ceremony (chained MultipartyKeyGen,
         mkhe.cpp:281-304, batched to one dispatch) and persist the joint pk
-        plus each party's share. A deployment would keep key-share-i.txt on
-        party i's machine only; the simulation keeps all of them."""
+        plus each party's share. SIMULATION-ONLY: this process runs every
+        party's role and keeps all shares; a deployment keeps
+        key-share-i.txt on party i's machine only and runs the per-party
+        protocol functions (threshold.py) there. The full 128-bit PRNG
+        key roots the ceremony (per-party streams are fold_in-derived,
+        domain-separated — see threshold._root_key)."""
         ctx = self.ctx
-        seed = int(jax.random.bits(self._next_key(), (), np.uint32))
         secrets, pk = thr.multiparty_keygen_batched(ctx, self.parties,
-                                                    seed=seed)
+                                                    seed=self._next_key())
         self._secrets, self._pk = secrets, pk
         os.makedirs(self.cryptodir, exist_ok=True)
         meta = dict(scheme="ckks-threshold", batchSize=self.batchSize,
@@ -92,9 +95,14 @@ class ThresholdCKKS(CKKS):
         if (meta.get("scheme") != "ckks-threshold"
                 or meta["batchSize"] != self.batchSize
                 or meta["scaleFactorBits"] != self.scaleFactorBits
-                or meta["parties"] != self.parties):
+                or meta["parties"] != self.parties
+                or meta.get("mult_depth") != self.mult_depth
+                or meta.get("ring_dim") != self._params.ring_dim
+                or meta.get("moduli") != list(self._params.moduli)):
             raise ValueError("persisted threshold context does not match "
-                             "constructor parameters")
+                             "constructor parameters (scheme/batchSize/"
+                             "scaleFactorBits/parties/mult_depth/ring_dim/"
+                             "moduli must all agree)")
         with open(os.path.join(self.cryptodir, _PK_FILE), "rb") as f:
             self._pk = ckks_serial.deserialize_public_key(f.read())
         shares = []
@@ -157,6 +165,12 @@ class ThresholdCKKS(CKKS):
         """Party `party`'s published share for a serialized ciphertext:
         MultipartyDecryptLead (party 0) / Main (others), mkhe.cpp:392-401.
         In deployment each machine calls this with only its own share."""
+        if self._secrets is None:
+            raise RuntimeError("call loadCryptoParams() or "
+                               "genCryptoContextAndKeyGen() first")
+        if not 0 <= party < self.parties:
+            raise ValueError(f"party {party} out of range "
+                             f"[0, {self.parties})")
         ct = ckks_serial.deserialize_ct(self.ctx, learner_data)
         key = rng_key if rng_key is not None else self._next_key()
         fn = (thr.partial_decrypt_lead if party == 0
@@ -166,6 +180,9 @@ class ThresholdCKKS(CKKS):
     def fuse_partials(self, partials, learner_data: bytes,
                       data_dimensions: int) -> np.ndarray:
         """MultipartyDecryptFusion (mkhe.cpp:402) of published shares."""
+        if self._secrets is None:
+            raise RuntimeError("call loadCryptoParams() or "
+                               "genCryptoContextAndKeyGen() first")
         ct = ckks_serial.deserialize_ct(self.ctx, learner_data)
         import jax.numpy as jnp
         vals = np.asarray(thr.fuse_decrypt(
