@@ -35,12 +35,25 @@ from __future__ import annotations
 
 import os
 import pickle
+import re
 import struct
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 PALISADE_DIR = os.path.join(HERE, "vectors", "reference_palisade_ckks")
-TENSEAL_PICKLE = os.path.join(HERE, "vectors", "reference_tenseal_ckks",
-                              "context.pickle")
+# A SECOND, independent PALISADE keygen instance: the reference commits a
+# separate resource set at palisade_pybind/SHELFI_FHE/resources/
+# cryptoparams/ (written by the same CKKS::genCryptoContextAndKeyGen,
+# ckks.cpp:25-59, from a different run) PLUS an orphan relinearization
+# key `key-eval-mult.txt` no committed code writes or reads.
+PYBIND_DIR = os.path.join(HERE, "vectors", "reference_palisade_ckks_pybind")
+TENSEAL_DIR = os.path.join(HERE, "vectors", "reference_tenseal_ckks")
+TENSEAL_PICKLE = os.path.join(TENSEAL_DIR, "context.pickle")
+# Reference code/tenseal_model.pickle: OrderedDict{name: TenSEAL
+# CKKSVector bytes} — Microsoft-SEAL-serialized ciphertexts of the
+# reference's Linear(100,1) model; code/model.pickle is the matching
+# plaintext state_dict (torch legacy pickle).
+TENSEAL_MODEL_PICKLE = os.path.join(TENSEAL_DIR, "tenseal_model.pickle")
+TORCH_MODEL_PICKLE = os.path.join(TENSEAL_DIR, "model.pickle")
 
 N = 8192
 BITS = 13
@@ -135,10 +148,10 @@ def _palisade_scan_u64(blob: bytes, pred) -> list[tuple[int, int]]:
     return out
 
 
-def palisade_roots() -> tuple[int, ...]:
+def palisade_roots(dirname: str = PALISADE_DIR) -> tuple[int, ...]:
     """The serialized primitive 2N-th roots of unity, one per modulus,
     located inside cryptocontext.txt by their algebraic property."""
-    blob = open(os.path.join(PALISADE_DIR, "cryptocontext.txt"), "rb").read()
+    blob = open(os.path.join(dirname, "cryptocontext.txt"), "rb").read()
     roots = []
     for q in PALISADE_MODULI:
         hits = _palisade_scan_u64(
@@ -168,20 +181,126 @@ def _palisade_arrays(path: str) -> list[tuple[int, list[int]]]:
     return out
 
 
-def palisade_secret_key() -> list[tuple[int, list[int]]]:
+def palisade_secret_key(dirname: str = PALISADE_DIR
+                        ) -> list[tuple[int, list[int]]]:
     """[(q0, tower0), (q1, tower1)] eval-domain residues of the sk."""
-    arrs = _palisade_arrays(os.path.join(PALISADE_DIR, "key-private.txt"))
+    arrs = _palisade_arrays(os.path.join(dirname, "key-private.txt"))
     assert [q for q, _ in arrs] == list(PALISADE_MODULI), arrs and [
         q for q, _ in arrs]
     return arrs
 
 
-def palisade_public_key():
+def palisade_public_key(dirname: str = PALISADE_DIR):
     """((b_tower0, b_tower1), (a_tower0, a_tower1)) eval-domain residues;
     pk satisfies b + a*s = e with e small (b stored as -a*s + e)."""
-    arrs = _palisade_arrays(os.path.join(PALISADE_DIR, "key-public.txt"))
+    arrs = _palisade_arrays(os.path.join(dirname, "key-public.txt"))
     assert [q for q, _ in arrs] == list(PALISADE_MODULI) * 2
     return (arrs[0][1], arrs[1][1]), (arrs[2][1], arrs[3][1])
+
+
+def palisade_key_tag(path: str) -> str:
+    """The 32-hex-char PALISADE key tag identifying the keygen instance
+    a serialized key belongs to (CEREAL blobs embed it in the clear)."""
+    tags = set(re.findall(rb"[0-9a-f]{32}", open(path, "rb").read()))
+    assert len(tags) == 1, f"expected one key tag in {path}: {tags}"
+    return tags.pop().decode()
+
+
+def _is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+EVALMULT_N = 16384  # ring dimension of the orphan relin key (see below)
+
+
+def evalmult_key_regions():
+    """Forensic parse of key-eval-mult.txt (LPEvalKeyRelinImpl<DCRTPoly>,
+    class name in the clear at byte 44).
+
+    Layout recovered from the bytes: 20 tower polynomials, each a
+    contiguous run of 16384 u64 residues whose TRAILER carries the
+    tower's modulus (twice), its primitive 2N-th root of unity, and the
+    cyclotomic order 32768 / ring dim 16384 as u32 fields — i.e. FOUR
+    DCRTPolys (b/a rows of a 2-digit key-switch key) over a 5-tower
+    chain [60, 52, 53 | 60, 60]-bit repeated per poly. Returns a list
+    of 20 (modulus, root, values[16384]) tuples in file order.
+
+    Self-validating twice over: the root is located by
+    pow(root, N, q) == q-1 (a wrong boundary guess cannot parse), and
+    each value block ends flush against its trailer's first modulus
+    word, so boundaries are exact."""
+    import numpy as np
+    blob = open(os.path.join(PYBIND_DIR, "key-eval-mult.txt"), "rb").read()
+
+    # every NTT-friendly prime occurrence in the file (numpy prefilter:
+    # v % 2N == 1 constrains the two low bytes)
+    b = np.frombuffer(blob, dtype=np.uint8)
+    cand = np.where((b[:-8] == 1) & ((b[1:-7] & 0x7F) == 0))[0]
+    occ = []
+    for off in cand:
+        v = struct.unpack_from("<Q", blob, int(off))[0]
+        if (2**40 < v < 2**61 and v % (2 * EVALMULT_N) == 1
+                and _is_prime(v)):
+            w = struct.unpack_from("<Q", blob, int(off) + 8)[0]
+            root = (w if 1 < w < v and pow(w, EVALMULT_N, v) == v - 1
+                    else None)
+            occ.append((int(off), v, root))
+
+    # collapse occurrences within one trailer (modulus appears twice,
+    # ~30 bytes apart, root after the second occurrence where present)
+    clusters = []
+    for off, v, root in occ:
+        if clusters and clusters[-1][1] == v and off - clusters[-1][0] < 64:
+            if root is not None:
+                clusters[-1][2] = root
+        else:
+            clusters.append([off, v, root])
+
+    # chain moduli are the ones recurring across the four b/a rows;
+    # residue values that coincidentally decode as NTT primes occur once
+    from collections import Counter
+    counts = Counter(v for _, v, _ in clusters)
+    chain_set = {v for v, c in counts.items() if c >= 4}
+    roots = {v: r for _, v, r in clusters if r is not None and
+             v in chain_set}
+    trailers = [(off, v) for off, v, _ in clusters
+                if v in chain_set and off > 3000]
+    assert len(trailers) == 20 and len(chain_set) == 5, (
+        len(trailers), chain_set)
+
+    out = []
+    prev_end = 0
+    for m_off, q in trailers:
+        # the data block is the N words ending flush at the trailer's
+        # first modulus word
+        start = m_off - EVALMULT_N * 8
+        assert start >= prev_end, "blocks overlap — bad trailer offsets"
+        vals = np.frombuffer(blob, dtype="<u8", count=EVALMULT_N,
+                             offset=start)
+        assert int(vals.max()) < q, f"block at {start} out of range"
+        assert int(vals[0]) >= 1 << 16 and int(vals[1]) >= 1 << 16
+        out.append((q, roots[q], vals))
+        prev_end = m_off
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -296,3 +415,72 @@ def tenseal_context():
     pk = limbs(_seal_payload(_proto_walk(fields[2])[0][1]), 2)
     sk = limbs(_seal_payload(_proto_walk(fields[3])[0][1]), 1)[0]
     return moduli, (pk[0], pk[1]), sk
+
+
+class _OrderedDictOnlyUnpickler(pickle.Unpickler):
+    """tenseal_model.pickle is an OrderedDict of bytes; allow exactly
+    that one import and nothing that would execute code."""
+
+    def find_class(self, module, name):
+        if (module, name) == ("collections", "OrderedDict"):
+            import collections
+            return collections.OrderedDict
+        raise pickle.UnpicklingError(
+            f"vector pickle must not reference {module}.{name}")
+
+
+def tenseal_model_ciphertexts():
+    """Parse reference code/tenseal_model.pickle: for each state_dict key
+    a TenSEAL CKKSVector protobuf (field 1 = vector size, field 2 = the
+    Microsoft SEAL Ciphertext blob, field 3 = scale as f64 bits).
+
+    Returns {name: dict(size, scale, parms_id, is_ntt, degree,
+    coeff_mod_size, polys)} with polys[2][3][8192] eval-domain residues.
+    SEAL Ciphertext payload layout (save_members): parms_id 4xu64,
+    is_ntt_form u8, size u64, poly_modulus_degree u64, coeff_modulus_size
+    u64, scale f64, then the coefficient data as the trailing
+    size*coeff_mod_size*degree u64 words."""
+    with open(TENSEAL_MODEL_PICKLE, "rb") as f:
+        d = _OrderedDictOnlyUnpickler(f).load()
+    out = {}
+    for name, v in d.items():
+        fields = {fld: sub for fld, sub in _proto_walk(v)}
+        size = fields[1][0] if isinstance(fields[1], bytes) else fields[1]
+        payload = _seal_payload(fields[2])
+        parms_id = struct.unpack_from("<4Q", payload, 0)
+        is_ntt = payload[32]
+        npoly, degree, cms = struct.unpack_from("<3Q", payload, 33)
+        scale = struct.unpack_from("<d", payload, 57)[0]
+        data = payload[-npoly * cms * degree * 8:]
+        polys = []
+        for p in range(npoly):
+            pol = []
+            for l in range(cms):
+                pol.append(list(struct.unpack_from(
+                    f"<{degree}Q", data, (p * cms + l) * degree * 8)))
+            polys.append(pol)
+        out[name] = dict(size=size, scale=scale, parms_id=parms_id,
+                         is_ntt=is_ntt, degree=degree,
+                         coeff_mod_size=cms, polys=polys)
+    return out
+
+
+def reference_model_weights():
+    """Forensic parse of reference code/model.pickle — the torch
+    state_dict of the Linear(100, 1) model (reference benchmark.py:50-53)
+    whose encrypted form is tenseal_model.pickle — WITHOUT importing
+    torch: each legacy FloatStorage payload inside the pickle is
+    [pickled storage-key list][u64 count][count f32 LE values].
+
+    Returns {'weight': (100,) f32, 'bias': (1,) f32}."""
+    import numpy as np
+    blob = open(TORCH_MODEL_PICKLE, "rb").read()
+    vals = {}
+    for m in re.finditer(rb"\x80\x02\]q\x00X\t\x00\x00\x00\d{9}q\x01a\.",
+                         blob):
+        off = m.end()
+        cnt = struct.unpack_from("<Q", blob, off)[0]
+        vals[cnt] = np.frombuffer(blob, dtype="<f4", count=cnt,
+                                  offset=off + 8).copy()
+    assert set(vals) == {100, 1}, set(vals)
+    return {"weight": vals[100], "bias": vals[1]}
