@@ -20,6 +20,16 @@ Chunking follows ckks.cpp:65 (cipherSize = ceil(size / batchSize)) and the
 decrypt tail rule (ckks.cpp:192-196). `dense_pack=True` additionally packs
 the full ring (2x batch) per chunk — a TPU-side win the CPU reference
 doesn't offer (halves ciphertext count and bytes).
+
+`packing` selects the plaintext encoding:
+  * "coeff" (default) — exact-integer coefficient packing
+    (ckks/encoding.py). Correct and exact for everything the FedAvg
+    protocol computes (EvalAdd + scalar EvalMult, ckks.cpp:286-298).
+  * "slots" — canonical-embedding slot packing (ckks/slots.py), the
+    reference's MakeCKKSPackedPlaintext semantics (ckks.cpp:80): N/2
+    slots per ciphertext on which EvalMult(ct, ct) acts elementwise and
+    Galois rotations act as cyclic shifts. Same wire format, same
+    aggregation kernels; encode/decode run host-side f64.
 """
 
 from __future__ import annotations
@@ -50,13 +60,19 @@ class CKKS(Scheme):
                  cryptodir: str = "../resources/cryptoparams/",
                  mult_depth: int = 1, dense_pack: bool = False,
                  symmetric: bool = False, seeded_fresh: bool = False,
-                 seed: int | None = None):
+                 seed: int | None = None, packing: str = "coeff"):
         super().__init__(scheme)
         self.batchSize = int(batchSize)
         self.scaleFactorBits = int(scaleFactorBits)
         self.cryptodir = cryptodir
         self.mult_depth = int(mult_depth)
         self.dense_pack = bool(dense_pack)
+        if packing not in ("coeff", "slots"):
+            raise ValueError(f"unknown packing {packing!r}")
+        if packing == "slots" and dense_pack:
+            raise ValueError("dense_pack packs coefficients; a slot-packed "
+                             "ciphertext has exactly N/2 slots")
+        self.packing = packing
         # symmetric=True: secret-key RLWE encryption (1 NTT batch instead of
         # 4). Identical ciphertexts/noise; valid because every learner holds
         # sk in this protocol (they decrypt — ckks.cpp:11-23,189).
@@ -95,6 +111,8 @@ class CKKS(Scheme):
     @property
     def capacity(self) -> int:
         """Values packed per ciphertext chunk."""
+        if self.packing == "slots":
+            return self._params.ring_dim // 2
         return self._params.ring_dim if self.dense_pack else self.batchSize
 
     def genCryptoContextAndKeyGen(self) -> int:
@@ -144,11 +162,16 @@ class CKKS(Scheme):
     # -- data path ---------------------------------------------------------
 
     def _pack(self, flat: np.ndarray) -> jnp.ndarray:
-        """flat (size,) -> (chunks, N) f32 with zeros in unused positions."""
-        n = self._params.ring_dim
+        """flat (size,) -> (chunks, N) f32 with zeros in unused positions.
+        In slot mode: (chunks, N/2) f64 host slots (encoded at encrypt)."""
         cap = self.capacity
         size = flat.size
         chunks = max(1, -(-size // cap))
+        if self.packing == "slots":
+            buf = np.zeros((chunks, cap), dtype=np.float64)
+            buf.reshape(-1)[:size] = flat.astype(np.float64, copy=False)
+            return buf
+        n = self._params.ring_dim
         buf = np.zeros((chunks, n), dtype=np.float32)
         payload = buf[:, :cap].reshape(-1)
         payload[:size] = flat.astype(np.float32, copy=False)
@@ -165,6 +188,18 @@ class CKKS(Scheme):
             raise RuntimeError("call loadCryptoParams() or "
                                "genCryptoContextAndKeyGen() first")
         flat = np.asarray(data_array).reshape(-1)
+        if self.packing == "slots":
+            # MakeCKKSPackedPlaintext semantics (ckks.cpp:80): host-side
+            # canonical-embedding encode, then the standard pk encrypt.
+            # (The symmetric/seeded fast paths are coefficient-mode
+            # optimizations; slot mode always takes the reference-shaped
+            # pk path.)
+            from ..ckks import slots as ckks_slots
+            pt = ckks_slots.encode_slots(self.ctx, self._pack(flat))
+            ct = ckks_ops.encrypt_encoded(self.ctx, self._pk, pt,
+                                          self._next_key(),
+                                          self._params.scale)
+            return ckks_serial.serialize_ct(self.ctx, ct)
         if self.seeded_fresh and self._sk is not None:
             sct = ckks_ops.encrypt_symmetric_seeded(
                 self.ctx, self._sk, self._pack(flat), self._next_key())
@@ -195,6 +230,11 @@ class CKKS(Scheme):
         if self._sk is None:
             raise RuntimeError("call loadCryptoParams() first")
         ct = ckks_serial.deserialize_ct(self.ctx, learner_data)
+        if self.packing == "slots":
+            from ..ckks import slots as ckks_slots
+            res = ckks_ops.decrypt_residues(self.ctx, self._sk, ct)
+            z = ckks_slots.decode_slots(self.ctx, np.asarray(res), ct.scale)
+            return z.real.reshape(-1)[:int(data_dimensions)]
         vals = np.asarray(ckks_ops.decrypt(self.ctx, self._sk, ct))
         return self._unpack(vals, int(data_dimensions))
 
@@ -236,6 +276,11 @@ class CKKS(Scheme):
         if self._pk is None and self._sk is None:
             raise RuntimeError("call loadCryptoParams() or "
                                "genCryptoContextAndKeyGen() first")
+        if self.packing == "slots":
+            raise ValueError(
+                "the cohort fast path is coefficient-packed; slot packing "
+                "serves the reference-parity bytes surface "
+                "(encrypt/computeWeightedAverage/decrypt)")
         if isinstance(client_vectors, jnp.ndarray) and \
                 client_vectors.ndim == 3:
             stacked = client_vectors
@@ -315,6 +360,10 @@ class CKKS(Scheme):
         shape is compiled and peak memory is ~5x one slice's ciphertext.
         The default (1024) keeps any model size within a few GB of device
         memory; pass None to force a single dispatch."""
+        if self.packing == "slots":
+            raise ValueError(
+                "fedavg_round is coefficient-packed; slot packing serves "
+                "the reference-parity bytes surface")
         dims = (int(data_dimensions) if data_dimensions is not None
                 else int(np.asarray(client_vectors[0]).size))
         packed = client_vectors if (
