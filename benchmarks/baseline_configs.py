@@ -108,7 +108,11 @@ def cfg2_ct_mult(cpu: bool):
         print(f"# note: params resolve to N={n}, L={live} "
               "(BASELINE.json metric point is N=8192, L=4)", flush=True)
 
-    B = 8 if cpu else 64                     # cts per dispatch (chunk axis)
+    # cts per dispatch (chunk axis). On TPU the batch must be large
+    # enough that kernel time dominates the remote-tunnel RTT (~24 ms):
+    # at 64 cts the kernel is ~3 ms and the metric measured the tunnel
+    # (r4's 2167/s). 1024 cts ~= 52 ms kernel time -> >2/3 efficiency.
+    B = 8 if cpu else 1024
     rng = np.random.default_rng(1)
     vals = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32) * 0.1)
     ct_a = O.encrypt_symmetric(ctx, sk, vals, jax.random.key(2))

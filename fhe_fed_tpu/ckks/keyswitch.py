@@ -85,11 +85,16 @@ def _ext_indices(ctx: CkksContext, live: int) -> np.ndarray:
 
 
 def _take_tables(tb: NttTables, idx: np.ndarray) -> NttTables:
+    # mxu= keeps the MXU digit-plane transform engaged for the extended
+    # basis — previously dropped here, silently demoting the key-switch's
+    # DOMINANT NTT batch (chunks x digits x ext limbs) to the ~5x-slower
+    # butterfly network (the r4 verdict's unprofiled-hot-kernel finding).
     return NttTables(
         ring_dim=tb.ring_dim, q=tb.q[idx],
         tab=tb.tab[idx], tab_shoup=tb.tab_shoup[idx],
         itab=tb.itab[idx], itab_shoup=tb.itab_shoup[idx],
-        ninv=tb.ninv[idx], ninv_shoup=tb.ninv_shoup[idx])
+        ninv=tb.ninv[idx], ninv_shoup=tb.ninv_shoup[idx],
+        mxu=(None if tb.mxu is None else tb.mxu.take(idx)))
 
 
 def make_kswitch_key(ctx: CkksContext, sk: SecretKey, target_hat: jnp.ndarray,

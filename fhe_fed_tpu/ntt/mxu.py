@@ -194,6 +194,20 @@ class MxuNttTables:
             c32=self.c32[lo:hi], c32_shoup=self.c32_shoup[lo:hi],
             offm=self.offm[lo:hi])
 
+    def take(self, idx) -> "MxuNttTables":
+        """Tables for an arbitrary limb subset (e.g. the key-switch
+        extended basis {q_0..q_{live-1}, special}) — keeps the MXU
+        transform on the hot path where contiguous slicing can't."""
+        return MxuNttTables(
+            ring_dim=self.ring_dim, n1=self.n1, n2=self.n2,
+            q=self.q[idx],
+            r1f=self.r1f[idx], r2f=self.r2f[idx],
+            r1i=self.r1i[idx], r2i=self.r2i[idx],
+            midf=self.midf[idx], midf_shoup=self.midf_shoup[idx],
+            midi=self.midi[idx], midi_shoup=self.midi_shoup[idx],
+            c32=self.c32[idx], c32_shoup=self.c32_shoup[idx],
+            offm=self.offm[idx])
+
 
 def make_mxu_tables(ring_dim: int, moduli: tuple[int, ...],
                     n1: int | None = None,
