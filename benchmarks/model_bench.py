@@ -10,6 +10,8 @@ Usage:
   python -m benchmarks.model_bench                 # ladder up to CNN
   python -m benchmarks.model_bench --models bert   # any zoo subset
   python -m benchmarks.model_bench --clients 8
+  python -m benchmarks.model_bench --scheme ckks-threshold --fused
+      # the threshold scheme (no single sk anywhere) on the same ladder
 """
 
 from __future__ import annotations
@@ -160,7 +162,10 @@ def bench_model(name: str, n_clients: int, helper: CKKS,
             # weak #8): cohort rows use the stacked one-dispatch variant,
             # bytes rows the per-client serialized path; sk/pk mode from
             # the helper.
-            "encrypt_op": ("fused_round" if use_fused else
+            "scheme": helper.scheme,
+            "encrypt_op": (("threshold_round_fused"
+                            if helper.scheme == "ckks-threshold"
+                            else "fused_round") if use_fused else
                            "encrypt_bytes" if use_bytes else
                            ("encrypt_symmetric_stacked" if helper.symmetric
                             else "encrypt_stacked")),
@@ -195,14 +200,35 @@ def main(argv=None):
                     help="fused one-dispatch rounds (enc->agg->dec as one "
                          "XLA computation per slice, one sync per round) — "
                          "the deployment path; phases report as 'round'")
+    ap.add_argument("--scheme", default="ckks",
+                    choices=["ckks", "ckks-threshold"],
+                    help="ckks-threshold runs the same ladder with the "
+                         "threshold scheme: joint-pk encrypt, fused sum, "
+                         "all-party decrypt ceremony (no single sk)")
+    ap.add_argument("--parties", type=int, default=3,
+                    help="key-share parties for --scheme ckks-threshold")
     args = ap.parse_args(argv)
-    if args.fused and (args.bytes or args.pk):
-        ap.error("--fused requires the secret-key cohort path")
+    if args.fused and (args.bytes or
+                       (args.pk and args.scheme == "ckks")):
+        ap.error("--fused requires the secret-key cohort path (or the "
+                 "threshold scheme, whose rounds fuse their ceremony)")
 
-    keydir = os.path.join(results_dir(), "bench_keys")
+    if args.scheme == "ckks-threshold":
+        from fhe_fed_tpu.fed.threshold_api import ThresholdCKKS
+        keydir = os.path.join(results_dir(), "bench_keys_threshold")
+
+        def make_helper():
+            return ThresholdCKKS("ckks-threshold", args.batch, args.bits,
+                                 cryptodir=keydir, parties=args.parties)
+    else:
+        keydir = os.path.join(results_dir(), "bench_keys")
+
+        def make_helper():
+            return CKKS("ckks", args.batch, args.bits, cryptodir=keydir,
+                        symmetric=not args.pk)
+
     os.makedirs(keydir, exist_ok=True)
-    helper = CKKS("ckks", args.batch, args.bits, cryptodir=keydir,
-                  symmetric=not args.pk)
+    helper = make_helper()
     # Warm init path (VERDICT r2 item 6): generate keys only if no persisted
     # set exists (cold, reported separately), then time the reference's
     # measured Init op — loadCryptoParams from files (ckks.cpp:11-23) plus
@@ -222,8 +248,7 @@ def main(argv=None):
     # batched-transfer unpack executables, the second is the steady-state
     # loadCryptoParams cost comparable to the reference's Init.
     def time_init():
-        h = CKKS("ckks", args.batch, args.bits, cryptodir=keydir,
-                 symmetric=not args.pk)
+        h = make_helper()
         t0 = time.time()
         _ = h.ctx
         h.loadCryptoParams()
@@ -234,11 +259,12 @@ def main(argv=None):
         print(f"cold keygen+persist: {keygen_s:.2f}s (one-time; warm init "
               f"{init_s:.3f}s)")
 
-    txt_path = os.path.join(
-        results_dir(),
-        "model_results_fused.txt" if args.fused
-        else "model_results_bytes.txt" if args.bytes
-        else "model_results.txt")
+    suffix = ("_fused" if args.fused
+              else "_bytes" if args.bytes else "")
+    if args.scheme == "ckks-threshold":
+        suffix = "_threshold" + suffix
+    txt_path = os.path.join(results_dir(),
+                            f"model_results{suffix}.txt")
     results = []
     with open(txt_path, "w") as f:
         for i, name in enumerate(args.models):
