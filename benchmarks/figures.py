@@ -156,6 +156,31 @@ def main(argv=None):
     fig.savefig(os.path.join(args.out, "selective.pdf"))
     plt.close(fig)
 
+    # -- attack: reconstruction quality vs top-k protection ---------------
+    # sensitivity-based element masking (attack/masking.py, reference
+    # masking/masking.py:104-145) driven through the DLG attack:
+    # the element-level selective-encryption justification, measured.
+    topk = [r for r in _load_jsonl("attack_eval.jsonl")
+            if r.get("protection", "").startswith("topk_")]
+    if topk:
+        rows = sorted((float(r["protection"].split("_")[1]), r)
+                      for r in topk)
+        ks = [k for k, _ in rows]
+        fig, ax = plt.subplots(figsize=(5.2, 3.6))
+        for metric, style in (("mssim", "o-"), ("uqi", "s-"),
+                              ("vifp", "^-"), ("corr", "d--")):
+            ax.plot(ks, [r[metric] for _, r in rows], style,
+                    label=metric)
+        ax.set_xscale("symlog", linthresh=1e-3)
+        ax.set_xlabel("protected fraction k (top-|sensitivity| elements)")
+        ax.set_ylabel("reconstruction quality vs ground truth")
+        ax.set_title("DLG attack vs sensitivity-masked gradients "
+                     "(best of 3 restarts)")
+        ax.legend(fontsize=7)
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.out, "attack_topk.pdf"))
+        plt.close(fig)
+
     # -- bandwidth sensitivity (processing_comm_bar.py:8-22 family) -------
     # Round time = measured crypto phases + ct_bytes/bandwidth (up + down),
     # at the reference's three implied link speeds (derived from its

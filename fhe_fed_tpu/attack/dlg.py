@@ -37,6 +37,19 @@ def _zero_protected(grads_flat: list, protected: Sequence[int]):
             for i, g in enumerate(grads_flat)]
 
 
+def _apply_element_mask(grads_flat: list, keep_flat: jnp.ndarray) -> list:
+    """Multiply a flat leaf-grad list by a flat (n_params,) keep mask —
+    element-level protection (reference masking.py:141-145 semantics:
+    shared grads * (1 - top_k_mask))."""
+    out = []
+    off = 0
+    for g in grads_flat:
+        m = keep_flat[off:off + g.size].reshape(g.shape)
+        out.append(g * m)
+        off += g.size
+    return out
+
+
 def model_gradients(apply: Callable, params, x: jnp.ndarray,
                     onehot: jnp.ndarray,
                     protected_layers: Sequence[int] = ()) -> list:
@@ -60,13 +73,22 @@ class DLGResult:
 def dlg_attack(apply: Callable, params, target_grads: list,
                data_shape, n_classes: int,
                protected_layers: Sequence[int] = (),
+               element_mask=None,
                steps: int = 300, lr: float = 0.1, seed: int = 0,
                record_every: int = 50,
                optimizer: str = "adam") -> DLGResult:
     """Run the attack: optimize (dummy_data, dummy_label) so that
-    grad(model; dummy) matches `target_grads` (code.py:482-531)."""
+    grad(model; dummy) matches `target_grads` (code.py:482-531).
+
+    element_mask: optional flat (n_params,) 0/1 array — 1 marks elements
+    protected by sensitivity-based selective encryption (masking.py
+    top_k_mask); the attacker knows the mask and matches only the
+    unprotected elements (the element-level analogue of
+    protected_layers)."""
     treedef = jax.tree_util.tree_structure(params)
     protected = tuple(protected_layers)
+    keep = (None if element_mask is None
+            else 1.0 - jnp.asarray(element_mask, jnp.float32))
 
     key = jax.random.key(seed)
     k1, k2 = jax.random.split(key)
@@ -86,6 +108,8 @@ def dlg_attack(apply: Callable, params, target_grads: list,
         grads = jax.grad(loss_fn)(params)
         leaves, _ = jax.tree_util.tree_flatten(grads)
         leaves = _zero_protected(leaves, protected)
+        if keep is not None:
+            leaves = _apply_element_mask(leaves, keep)
         return sum(jnp.sum((gx - gy) ** 2)
                    for gx, gy in zip(leaves, target))
 
