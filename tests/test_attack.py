@@ -85,6 +85,33 @@ def test_sensitivity_topk_mask(target):
     assert int(jnp.sum(flat == 0)) >= int(mask.sum())
 
 
+def test_dlg_element_mask(target):
+    """Element-level protection: the attack with a top-k sensitivity
+    mask (attacker knows the mask) still recovers under a tiny mask but
+    its matching loss ignores masked elements — masking EVERYTHING makes
+    the loss identically minimizable to zero without recovering x."""
+    params, apply, x, onehot = target
+    n_params = sum(v.size for v in jax.tree_util.tree_leaves(params))
+    sens = attack.gradient_sensitivity(apply, params, x, onehot)
+    mask = attack.top_k_mask(sens, 1.0)        # protect everything
+    grads = attack.mask_gradients(
+        attack.model_gradients(apply, params, x, onehot), mask)
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in grads)
+    res = attack.dlg_attack(apply, params, grads, x.shape, N_CLS,
+                            element_mask=mask, steps=100, lr=0.05, seed=1)
+    corr = np.corrcoef(res.data.reshape(-1),
+                       np.asarray(x).reshape(-1))[0, 1]
+    assert abs(corr) < 0.5, corr               # nothing to match -> no leak
+    # zero-mask path is mathematically the unmasked objective
+    zmask = jnp.zeros(n_params, jnp.float32)
+    res2 = attack.dlg_attack(
+        apply, params, attack.model_gradients(apply, params, x, onehot),
+        x.shape, N_CLS, element_mask=zmask, steps=600, lr=0.05, seed=1)
+    corr2 = np.corrcoef(res2.data.reshape(-1),
+                        np.asarray(x).reshape(-1))[0, 1]
+    assert corr2 > 0.9, corr2
+
+
 def test_similarity_metrics():
     rng = np.random.default_rng(1)
     img = rng.random((32, 32))
