@@ -35,7 +35,10 @@ def gradient_sensitivity(apply: Callable, params, x: jnp.ndarray,
         leaves, _ = jax.tree_util.tree_flatten(g)
         return jnp.concatenate([l.reshape(-1) for l in leaves])
 
-    jac = jax.jacfwd(flat_grads)(onehot)      # (n_params, B, n_classes)
+    # full f32 matmul precision — sensitivity ranks individual elements,
+    # which bf16 matmul defaults visibly reorder (see dlg.model_gradients)
+    with jax.default_matmul_precision("highest"):
+        jac = jax.jacfwd(flat_grads)(onehot)  # (n_params, B, n_classes)
     sens = jac[:, jnp.arange(onehot.shape[0]), gt_class]
     return jnp.sum(jnp.abs(sens), axis=-1)
 
