@@ -23,7 +23,10 @@ trivial integer sum; the price is the offline protocol round and
 fixed-point precision (num_bits=17/precision=13, the cpp defaults).
 
 Usage: python -m benchmarks.masking_bench [--params 100000 1663370]
-       [--learners 4]
+       [--learners 4] [--thread-sweep]
+--thread-sweep measures the offline phase at 1 vs all OpenMP threads so
+"scales with cores" is a measurement, not a claim (reference analogue:
+the OMP-parallel offline kernels, PaillierUtils.cpp:705-760).
 Writes results/masking_bench.jsonl (rewritten, measured rows only).
 """
 
@@ -38,7 +41,7 @@ import numpy as np
 import jax
 
 from fhe_fed_tpu.fed.masking import Masking
-from .common import rewrite_jsonl, enable_compile_cache
+from .common import append_jsonl, rewrite_jsonl, enable_compile_cache
 
 enable_compile_cache()
 
@@ -94,7 +97,9 @@ def bench(params: int, learners: int) -> dict:
     want = np.mean(np.stack(data), axis=0)
     err = float(np.max(np.abs(out - want)))
 
+    from fhe_fed_tpu.native import paillier as native
     return {"params": params, "learners": learners,
+            "threads": native.num_threads(),
             "keygen_s": keygen_s,
             "offline_gen_per_learner_s": gen_one_s,
             "offline_add_s": add_s, "offline_decrypt_sum_s": dec_sum_s,
@@ -108,24 +113,47 @@ def bench(params: int, learners: int) -> dict:
             "max_err": err, "backend": jax.default_backend()}
 
 
+def _report(r):
+    print(f"{r['params']:,} params x {r['learners']} learners "
+          f"[{r['threads']} thr]: offline {r['offline_total_s']:.2f}s "
+          f"(gen {r['offline_gen_per_learner_s']:.2f} + add "
+          f"{r['offline_add_s']:.2f} + dec "
+          f"{r['offline_decrypt_sum_s']:.2f}), online "
+          f"{r['online_total_s'] * 1e3:.1f} ms, comm "
+          f"x{r['comm_expansion']:.2f}, err {r['max_err']:.1e}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", nargs="*", type=int,
                     default=[100_000, 1_663_370])
     ap.add_argument("--learners", type=int, default=4)
+    ap.add_argument("--thread-sweep", action="store_true",
+                    help="rerun the first size at 1 thread vs all "
+                         "threads (offline-phase core scaling)")
+    ap.add_argument("--append", action="store_true",
+                    help="append rows instead of rewriting the jsonl")
     args = ap.parse_args(argv)
     rows = []
     for p in args.params:
         r = bench(p, args.learners)
         rows.append(r)
-        print(f"{p:,} params x {args.learners} learners: offline "
-              f"{r['offline_total_s']:.2f}s "
-              f"(gen {r['offline_gen_per_learner_s']:.2f} + add "
-              f"{r['offline_add_s']:.2f} + dec "
-              f"{r['offline_decrypt_sum_s']:.2f}), online "
-              f"{r['online_total_s'] * 1e3:.1f} ms, comm "
-              f"x{r['comm_expansion']:.2f}, err {r['max_err']:.1e}")
-    rewrite_jsonl("masking_bench.jsonl", rows)
+        _report(r)
+    if args.thread_sweep:
+        from fhe_fed_tpu.native import paillier as native
+        full = native.num_threads()
+        for t in sorted({1, full}):
+            native.set_threads(t)
+            r = bench(args.params[0], args.learners)
+            r["sweep"] = "threads"
+            rows.append(r)
+            _report(r)
+        native.set_threads(full)
+    if args.append:
+        for r in rows:
+            append_jsonl("masking_bench.jsonl", r)
+    else:
+        rewrite_jsonl("masking_bench.jsonl", rows)
     return rows
 
 

@@ -265,4 +265,15 @@ int paillier_num_threads() {
 #endif
 }
 
+// Thread-count control for scaling measurements (the reference's OMP
+// kernels are likewise ambient-thread-count controlled,
+// PaillierUtils.cpp:705-760).
+void paillier_set_threads(int n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#else
+    (void)n;
+#endif
+}
+
 }  // extern "C"

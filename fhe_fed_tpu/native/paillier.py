@@ -52,8 +52,20 @@ def load_lib() -> ctypes.CDLL:
         U64P, U64P, U64P, ctypes.c_uint64,
         U64P, U64P, U64P, ctypes.c_int, U64P, ctypes.c_int, U64P]
     lib.paillier_num_threads.restype = ctypes.c_int
+    lib.paillier_set_threads.argtypes = [ctypes.c_int]
+    lib.paillier_set_threads.restype = None
     _lib = lib
     return lib
+
+
+def num_threads() -> int:
+    """OpenMP thread count the native kernels will use."""
+    return int(load_lib().paillier_num_threads())
+
+
+def set_threads(n: int) -> None:
+    """Pin the native kernels' OpenMP thread count (scaling benches)."""
+    load_lib().paillier_set_threads(int(n))
 
 
 # ---------------------------------------------------------------------------

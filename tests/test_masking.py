@@ -165,3 +165,15 @@ def test_dropout_recovery_subset(tmp_path):
     out = schemes[0].decrypt(agg, n_params, iteration=0, subset=survivors)
     want = np.mean(np.stack([data[i] for i in survivors]), axis=0)
     np.testing.assert_allclose(out, want, atol=learners * 2 ** -13)
+
+
+def test_native_thread_control():
+    """paillier_set_threads pins the OpenMP worker count the offline
+    kernels use (scaling benches sweep it; reference analogue: ambient
+    OMP control of PaillierUtils.cpp:705-760)."""
+    full = P.num_threads()
+    assert full >= 1
+    P.set_threads(1)
+    assert P.num_threads() == 1
+    P.set_threads(full)
+    assert P.num_threads() == full
