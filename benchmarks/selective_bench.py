@@ -162,6 +162,10 @@ def main(argv=None):
     ap.add_argument("--bytes-row", action="store_true",
                     help="add one labeled bytes-wire row (first model, "
                          "first rate)")
+    ap.add_argument("--wire-rates", nargs="*", type=float, default=None,
+                    help="emit ONLY labeled bytes-wire rows at these "
+                         "rates for the first model (no fused rows); "
+                         "use with --append to extend the wire column")
     ap.add_argument("--append", action="store_true",
                     help="append to selective.jsonl instead of rewriting")
     args = ap.parse_args(argv)
@@ -174,6 +178,27 @@ def main(argv=None):
 
     weights = [1.0 / args.clients] * args.clients
     out = []
+    if args.wire_rates is not None:
+        model = args.models[0]
+        spec_m = models.build(model)
+        flat, spec = flatten_params(spec_m.params)
+        rng = np.random.default_rng(0)
+        clients_flat = [
+            (flat + rng.standard_normal(flat.size).astype(np.float32)
+             * 0.01) for _ in range(args.clients)]
+        for rate in args.wire_rates:
+            r = bench_bytes_row(helper, model, rate, clients_flat, spec,
+                                weights)
+            out.append(r)
+            print(f"{model} rate={rate} [bytes wire]: ct "
+                  f"{r['ct_bytes']:,} B, enc {r['encrypt_s']:.2f}s, "
+                  f"agg+dec {r['agg_dec_s']:.2f}s")
+        if args.append:
+            for r in out:
+                append_jsonl("selective.jsonl", r)
+        else:
+            rewrite_jsonl("selective.jsonl", out)
+        return out
     for model in args.models:
         spec_m = models.build(model)
         flat, spec = flatten_params(spec_m.params)
