@@ -53,8 +53,11 @@ BASELINE_S = 2.456
 # Coefficient packing has no N/2 slot limit (no canonical embedding needed
 # for the add/scalar-mult-only FedAvg pipeline): the full ring carries
 # payload, halving ciphertext count and bytes vs PALISADE's batch=N/2.
-# Ring dim, scale, and security level are unchanged.
-DENSE_PACK = True
+# Ring dim, scale, and security level are unchanged; values_per_ct is
+# disclosed in the emitted config. FHE_FED_BENCH_DENSE=0 runs the
+# like-for-like 4096-values-per-ct variant (407 chunks) so both
+# accountings are on record (results/bench_variant_batch4096.json).
+DENSE_PACK = os.environ.get("FHE_FED_BENCH_DENSE", "1") != "0"
 
 # Anchor to this file, not the CWD: the keygen subprocess runs with
 # cwd=<repo>, so a relative path would desynchronize parent and child when
