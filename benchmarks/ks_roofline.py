@@ -30,6 +30,7 @@ Appends rows to results/ks_roofline.jsonl.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -180,7 +181,6 @@ def main(argv=None):
          None),
     ]
 
-    import os
     mxu_off = bool(os.environ.get("FHE_FED_TPU_NO_MXU"))
     rows = []
     sum_slope = 0.0
@@ -213,7 +213,7 @@ def main(argv=None):
         append_jsonl("ks_roofline.jsonl", r)
         extra = (f" {r['gbs']:7.1f} GB/s ({r['pct_hbm_peak']:4.1f}% peak)"
                  if bytes_pc is not None else
-                 f"  (phase sum {sum_slope*1e6*1:.1f} us/ct)")
+                 f"  (phase sum {sum_slope * 1e6:.1f} us/ct)")
         print(f"{name:18s} {slope*1e6:8.2f} us/ct "
               f"{1/slope:10.1f} cts/s{extra}")
     return rows
