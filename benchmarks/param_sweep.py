@@ -42,7 +42,8 @@ N_CLIENTS = 3
 
 
 def run_config(batch_size: int, scaling_bits: int, model_name: str,
-               workdir: str, n_eval: int = 4096) -> dict:
+               workdir: str, n_eval: int = 4096,
+               scheme: str = "ckks") -> dict:
     from .train_synth import trained_model, evaluate
     from fhe_fed_tpu.data import make_synth_images
 
@@ -64,7 +65,12 @@ def run_config(batch_size: int, scaling_bits: int, model_name: str,
     # Keys persist per config dir: generate only on the first-ever run
     # (cold, untimed), so the timed "init" is the reference's measured op —
     # loadCryptoParams from files (ckks.cpp:11-23, 0.16-0.20 s).
-    helper = CKKS("ckks", batch_size, scaling_bits, cryptodir=workdir)
+    if scheme == "ckks-threshold":
+        from fhe_fed_tpu.fed.threshold_api import ThresholdCKKS
+        helper = ThresholdCKKS("ckks-threshold", batch_size, scaling_bits,
+                               cryptodir=workdir)
+    else:
+        helper = CKKS("ckks", batch_size, scaling_bits, cryptodir=workdir)
     helper.load_or_gen()
     with t.phase("init"):
         _ = helper.ctx
@@ -108,6 +114,7 @@ def run_config(batch_size: int, scaling_bits: int, model_name: str,
     acc_delta = float(acc_plain - acc_fhe)
 
     return {"batch": batch_size, "scale_bits": scaling_bits,
+            "scheme": scheme,
             "computation": t.total - t.phases["init"],
             "phases": dict(t.phases), "communication": ct_bytes,
             "acc_delta": acc_delta, "acc_plain": acc_plain,
@@ -119,7 +126,25 @@ def main(argv=None):
     ap.add_argument("--small", action="store_true",
                     help="reduced grid + small model (CI/CPU)")
     ap.add_argument("--model", default="cnn_fedavg")
+    ap.add_argument("--scheme", default="ckks",
+                    choices=["ckks", "ckks-threshold"],
+                    help="ckks-threshold runs the production point only "
+                         "(4096/52): trust-model cost on the trained "
+                         "acc-delta criterion; appends a jsonl row "
+                         "instead of rewriting the CSV")
     args = ap.parse_args(argv)
+
+    if args.scheme == "ckks-threshold":
+        from .common import append_jsonl
+        wd = os.path.join(results_dir(), "keys_threshold_4096_52")
+        os.makedirs(wd, exist_ok=True)
+        r = run_config(4096, 52, args.model, wd,
+                       scheme="ckks-threshold")
+        print(f"[threshold] batch=4096 bits=52: "
+              f"comp={r['computation']:.3f}s acc_delta={r['acc_delta']} "
+              f"max_err={r['max_err']:.2e}")
+        append_jsonl("params_threshold.jsonl", r)
+        return [r]
 
     if args.small:
         batch_list, bits_list = [1024], [20, 40]
