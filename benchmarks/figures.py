@@ -67,7 +67,14 @@ def main(argv=None):
     import matplotlib.pyplot as plt
 
     ours = {}
+    thr_fused = {}
     for r in _load_jsonl("model_bench.jsonl"):
+        if r.get("scheme") == "ckks-threshold":
+            # threshold rows get their own series (fused round time);
+            # they must not override the single-key phase-split bars
+            if r.get("path") == "fused":
+                thr_fused[r["model"]] = r
+            continue
         # Figures plot the reference-accounting phase split, which only
         # the staged cohort/bytes rows carry; fused one-dispatch rows
         # (path "fused") report a single 'round' phase and are skipped.
@@ -78,10 +85,15 @@ def main(argv=None):
     # -- comp_time ---------------------------------------------------------
     fig, ax = plt.subplots(figsize=(10, 4))
     x = np.arange(len(REF_MODELS))
-    ax.bar(x - 0.2, REF_FHE_S, 0.4, label="reference CPU (published)")
+    ax.bar(x - 0.27, REF_FHE_S, 0.27, label="reference CPU (published)")
     ours_t = [ours[m]["total"] if m in ours else np.nan
               for m in REF_MODELS]
-    ax.bar(x + 0.2, ours_t, 0.4, label="ours (TPU)")
+    ax.bar(x, ours_t, 0.27, label="ours (TPU, staged)")
+    thr_t = [thr_fused[m]["total"] if m in thr_fused else np.nan
+             for m in REF_MODELS]
+    if not all(np.isnan(v) for v in thr_t):
+        ax.bar(x + 0.27, thr_t, 0.27,
+               label="ours (TPU, 3-party threshold fused round)")
     ax.set_yscale("log")
     ax.set_xticks(x, REF_MODELS, rotation=45, ha="right")
     ax.set_ylabel("secure agg total (s)")
