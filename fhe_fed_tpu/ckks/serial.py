@@ -26,7 +26,8 @@ from .keys import SecretKey, PublicKey
 from .ops import Ciphertext, SeededCiphertext, expand_seeded
 from ..utils.devput import device_materialize
 
-_CT_MAGIC = b"FFTC"
+_CT_MAGIC = b"FFTC"       # coefficient-packed ciphertext
+_CTP_MAGIC = b"FFTP"      # slot-packed (canonical embedding) ciphertext
 _SCT_MAGIC = b"FFTS"
 _KEY_MAGIC = b"FFTK"
 _VER = 1
@@ -36,20 +37,32 @@ _KEY_HDR = struct.Struct("<4sHBIII")
 CT_HEADER_BYTES = _CT_HDR.size
 
 
-def serialize_ct(ctx: CkksContext, ct: Ciphertext) -> bytes:
+def serialize_ct(ctx: CkksContext, ct: Ciphertext,
+                 packing: str = "coeff") -> bytes:
+    """packing="slots" stamps the slot-packed magic so a coefficient-mode
+    consumer cannot silently mis-decode the blob (the coeff wire format
+    is byte-identical to v1 — pinned digests unaffected)."""
     data = np.asarray(ct.data)
     chunks, two, live, n = data.shape
     assert two == 2
-    hdr = _CT_HDR.pack(_CT_MAGIC, _VER, ctx.ring_dim, ctx.params.batch,
+    magic = _CTP_MAGIC if packing == "slots" else _CT_MAGIC
+    hdr = _CT_HDR.pack(magic, _VER, ctx.ring_dim, ctx.params.batch,
                        ctx.params.scale_bits, chunks, live, ct.level,
                        float(ct.scale))
     return hdr + np.ascontiguousarray(data, dtype="<u4").tobytes()
 
 
-def deserialize_ct(ctx: CkksContext, blob: bytes) -> Ciphertext:
+def deserialize_ct(ctx: CkksContext, blob: bytes,
+                   packing: str = "coeff") -> Ciphertext:
     magic, ver, ring_dim, batch, scale_bits, chunks, live, level, scale = \
         _CT_HDR.unpack_from(blob, 0)
-    if magic != _CT_MAGIC or ver != _VER:
+    want = _CTP_MAGIC if packing == "slots" else _CT_MAGIC
+    if magic in (_CT_MAGIC, _CTP_MAGIC) and magic != want:
+        raise ValueError(
+            "ciphertext packing mismatch: blob is "
+            f"{'slot' if magic == _CTP_MAGIC else 'coefficient'}-packed "
+            f"but this helper decodes {packing!r}")
+    if magic != want or ver != _VER:
         raise ValueError("not a fhe_fed_tpu ciphertext blob")
     if ring_dim != ctx.ring_dim or scale_bits != ctx.params.scale_bits:
         raise ValueError(
@@ -89,12 +102,13 @@ def deserialize_seeded_ct(ctx: CkksContext, blob: bytes) -> SeededCiphertext:
                             scale=scale, level=level)
 
 
-def deserialize_any_ct(ctx: CkksContext, blob: bytes) -> Ciphertext:
+def deserialize_any_ct(ctx: CkksContext, blob: bytes,
+                       packing: str = "coeff") -> Ciphertext:
     """Dispatch on magic: full ciphertexts pass through, seed-compressed
     fresh ciphertexts are expanded to full (c0, c1) on this side."""
     if blob[:4] == _SCT_MAGIC:
         return expand_seeded(ctx, deserialize_seeded_ct(ctx, blob))
-    return deserialize_ct(ctx, blob)
+    return deserialize_ct(ctx, blob, packing=packing)
 
 
 def _pack_key_arrays(kind: int, ring_dim: int, arrays: list[np.ndarray]) -> bytes:

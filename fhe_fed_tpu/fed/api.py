@@ -199,7 +199,7 @@ class CKKS(Scheme):
             ct = ckks_ops.encrypt_encoded(self.ctx, self._pk, pt,
                                           self._next_key(),
                                           self._params.scale)
-            return ckks_serial.serialize_ct(self.ctx, ct)
+            return ckks_serial.serialize_ct(self.ctx, ct, packing="slots")
         if self.seeded_fresh and self._sk is not None:
             sct = ckks_ops.encrypt_symmetric_seeded(
                 self.ctx, self._sk, self._pack(flat), self._next_key())
@@ -218,18 +218,21 @@ class CKKS(Scheme):
         if len(learner_data) != len(scaling_factors):
             raise ValueError(
                 "Error: learner_data and scaling_factors size mismatch")
-        cts = [ckks_serial.deserialize_any_ct(self.ctx, b)
+        cts = [ckks_serial.deserialize_any_ct(self.ctx, b,
+                                              packing=self.packing)
                for b in learner_data]
         agg = ckks_ops.weighted_sum(self.ctx, cts,
                                     [float(s) for s in scaling_factors])
-        return ckks_serial.serialize_ct(self.ctx, agg)
+        return ckks_serial.serialize_ct(self.ctx, agg,
+                                        packing=self.packing)
 
     def decrypt(self, learner_data: bytes, data_dimensions: int) -> np.ndarray:
         """Decrypt ciphertext bytes -> float64 vector of `data_dimensions`
         (ckks.cpp:170-213 incl. tail-length rule)."""
         if self._sk is None:
             raise RuntimeError("call loadCryptoParams() first")
-        ct = ckks_serial.deserialize_ct(self.ctx, learner_data)
+        ct = ckks_serial.deserialize_ct(self.ctx, learner_data,
+                                        packing=self.packing)
         if self.packing == "slots":
             from ..ckks import slots as ckks_slots
             res = ckks_ops.decrypt_residues(self.ctx, self._sk, ct)

@@ -162,3 +162,12 @@ def test_user_facing_slots_mode():
     # the cohort fast path is a coefficient-mode optimization
     with pytest.raises(ValueError):
         h.fedavg_round(v, w, dims)
+    # wire safety: a slot-packed blob carries its own magic, so a
+    # coefficient-mode helper refuses it instead of mis-decoding
+    h_coeff = F.CKKS("ckks", 4096, 52, cryptodir=h.cryptodir)
+    h_coeff.loadCryptoParams()
+    slot_blob = h.encrypt(v[0])
+    with pytest.raises(ValueError, match="packing mismatch"):
+        h_coeff.decrypt(slot_blob, dims)
+    with pytest.raises(ValueError, match="packing mismatch"):
+        h.decrypt(h_coeff.encrypt(v[0]), dims)
