@@ -111,8 +111,10 @@ def cfg2_ct_mult(cpu: bool):
     # cts per dispatch (chunk axis). On TPU the batch must be large
     # enough that kernel time dominates the remote-tunnel RTT (~24 ms):
     # at 64 cts the kernel is ~3 ms and the metric measured the tunnel
-    # (r4's 2167/s). 1024 cts ~= 52 ms kernel time -> >2/3 efficiency.
-    B = 8 if cpu else 1024
+    # (r4's 2167/s). 2048 cts ~= 105 ms kernel time (~1 GB operands +
+    # ~3 GB transform intermediates, well within 16 GB HBM) -> ~80%
+    # dispatch efficiency.
+    B = 8 if cpu else 2048
     rng = np.random.default_rng(1)
     vals = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32) * 0.1)
     ct_a = O.encrypt_symmetric(ctx, sk, vals, jax.random.key(2))
