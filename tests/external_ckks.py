@@ -18,6 +18,22 @@ authored nor derived by any code in this repo:
       (poly 8192, coeff_mod_bit_sizes [60,40,40,60], scale 2^52 —
       benchmark_tenseal.py:124-125).
 
+  tests/vectors/reference_tenseal_ckks/{tenseal_model,model}.pickle
+      (r5) Byte-copies of reference code/tenseal_model.pickle — TenSEAL
+      CKKSVector blobs (Microsoft-SEAL-serialized ciphertexts) of the
+      Linear(100,1) model — and code/model.pickle, its torch state_dict
+      plaintext counterpart. Parsed forensically below (restricted
+      unpicklers; the torch legacy pickle is read without torch).
+
+  tests/vectors/reference_palisade_ckks_pybind/
+      (r5) Byte-copies of the reference's SECOND PALISADE resource set
+      (palisade_pybind/SHELFI_FHE/resources/cryptoparams/): another
+      keygen instance's cryptocontext/key-private/key-public plus the
+      orphan relinearization key key-eval-mult.txt
+      (LPEvalKeyRelinImpl<DCRTPoly>, ring 16384) that no committed code
+      writes or reads. All are DATA files imported as external
+      known-answer vectors; no code in this repo produced them.
+
 The parsers below are deliberately minimal/forensic: PALISADE arrays are
 located by their (length=8192, residues < q) signature; the TenSEAL blob
 is walked as protobuf wire format and each SEAL payload is unwrapped from
