@@ -117,6 +117,37 @@ def test_oracle_ciphertext_decrypts_under_ours(setup):
     np.testing.assert_allclose(got, v.astype(np.float64), atol=1e-6)
 
 
+def test_slot_packed_ct_decodes_under_independent_embedding(setup):
+    """Slot semantics validated by a SECOND embedding implementation:
+    the framework slot-encodes + encrypts (ckks/slots.py uses an
+    FFT-based inverse embedding), the oracle's schoolbook big-int RLWE
+    recovers the phase polynomial, and each sampled slot value is
+    re-derived by DIRECT evaluation of that polynomial at zeta**(5**j)
+    (zeta = exp(i*pi/N)) — no shared code with slots.py's decode on the
+    verification side."""
+    from fhe_fed_tpu.ckks import slots as SL
+    p, ctx, sk, pk, chain, oracle = setup
+    n = p.ring_dim
+    half = n // 2
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal(half) * 0.1
+    pt = SL.encode_slots(ctx, z[None, :])
+    ct = O.encrypt_encoded(ctx, pk, pt, jax.random.key(9), float(p.scale))
+
+    s_ints = _to_coeff_ints(ctx, np.asarray(sk.s), chain)
+    c0 = _to_coeff_ints(ctx, np.asarray(ct.data[0, 0]), chain)
+    c1 = _to_coeff_ints(ctx, np.asarray(ct.data[0, 1]), chain)
+    phase = oracle._poly_add(c0, oracle.negacyclic_mul(c1, s_ints))
+    coeffs = np.array([oracle._centered(x) for x in phase],
+                      dtype=np.float64) / float(p.scale)
+    two_n = 2 * n
+    k = np.arange(n)
+    for j in (0, 1, 7, 100, 1000, half - 1):
+        ej = pow(5, j, two_n)
+        val = np.sum(coeffs * np.exp(1j * np.pi * ej * k / n))
+        assert abs(val - z[j]) < 1e-4, (j, val, z[j])
+
+
 def test_weighted_average_cross_implementation(setup):
     """The full 3-learner weighted average run through BOTH
     implementations; the oracle also decrypts OUR homomorphic result."""
