@@ -72,6 +72,11 @@ class CKKS(Scheme):
         if packing == "slots" and dense_pack:
             raise ValueError("dense_pack packs coefficients; a slot-packed "
                              "ciphertext has exactly N/2 slots")
+        if packing == "slots" and (symmetric or seeded_fresh):
+            raise ValueError(
+                "symmetric/seeded_fresh are coefficient-mode encrypt "
+                "optimizations; slot packing always takes the "
+                "reference-shaped public-key path")
         self.packing = packing
         # symmetric=True: secret-key RLWE encryption (1 NTT batch instead of
         # 4). Identical ciphertexts/noise; valid because every learner holds
